@@ -1,38 +1,622 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship STAC pipeline (pages derived
+deterministically from the sf0.001 documents table → extract → cell encode
+→ broadcast PIP join → tiles → STAC JSON). ``queries()`` exposes one entry
+per implemented operator family from SURVEY.md §2; ``oracle_sql()`` gives
+the DuckDB-equivalent ANSI SQL for every SQL-expressible one.
+
+Determinism rules used throughout so Spark and DuckDB hash identically:
+- derived inputs are integer-mod arithmetic on driver-provided keys
+- money aggregates go through DECIMAL(18,4) (exact) and round once
+- interval bounds are emitted as formatted strings
+- every rank window orders by (key, id) with an id tie-break
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# shared deterministic derivations (Spark side; SQL mirrors in oracle_sql)
+# ---------------------------------------------------------------------------
+
+def _doc_points(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id",
+        (((F.col("doc_id") * 37) % 3600) / 10.0 - 179.95).alias("lon"),
+        (((F.col("doc_id") * 53) % 1700) / 10.0 - 84.95).alias("lat"),
+    )
+
+_DOC_POINTS_SQL = (
+    "SELECT doc_id, ((doc_id*37)%3600)/10.0 - 179.95 AS lon, "
+    "((doc_id*53)%1700)/10.0 - 84.95 AS lat FROM documents"
+)
+
+
+def _nation_footprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    lon_min = ((F.col("n_nationkey") * 67) % 300) - 159.5
+    lat_min = ((F.col("n_nationkey") * 41) % 140) - 74.5
+    return n.select(
+        F.concat(F.lit("col-"), F.col("n_nationkey").cast("string")).alias("collection_id"),
+        lon_min.alias("f_lon_min"),
+        lat_min.alias("f_lat_min"),
+        (lon_min + 12 + (F.col("n_nationkey") % 9)).alias("f_lon_max"),
+        (lat_min + 8 + (F.col("n_nationkey") % 7)).alias("f_lat_max"),
+    )
+
+_FOOTPRINTS_SQL = (
+    "SELECT 'col-' || CAST(n_nationkey AS VARCHAR) AS collection_id, "
+    "((n_nationkey*67)%300) - 159.5 AS f_lon_min, "
+    "((n_nationkey*41)%140) - 74.5 AS f_lat_min, "
+    "((n_nationkey*67)%300) - 159.5 + 12 + (n_nationkey%9) AS f_lon_max, "
+    "((n_nationkey*41)%140) - 74.5 + 8 + (n_nationkey%7) AS f_lat_max "
+    "FROM nation"
+)
+
+
+def _part_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    tx = F.col("p_partkey") % 16
+    ty = F.floor(F.col("p_partkey") / 16.0).cast("int")
+    lon_min = -180.0 + tx * 22.5
+    lat_max = 85.0 - ty * 10.625
+    return p.select(
+        F.concat(F.lit("z4/x"), tx.cast("string"), F.lit("/y"), ty.cast("string")).alias("tile_id"),
+        F.array(lon_min, lat_max - 10.625, lon_min + 22.5, lat_max).alias("bbox"),
+    )
+
+_TILES_SQL = (
+    "SELECT 'z4/x' || CAST(p_partkey % 16 AS VARCHAR) || '/y' || "
+    "CAST(CAST(FLOOR(p_partkey/16.0) AS INT) AS VARCHAR) AS tile_id, "
+    "-180.0 + (p_partkey % 16)*22.5 AS t_lon_min, "
+    "85.0 - CAST(FLOOR(p_partkey/16.0) AS INT)*10.625 - 10.625 AS t_lat_min, "
+    "-180.0 + (p_partkey % 16)*22.5 + 22.5 AS t_lon_max, "
+    "85.0 - CAST(FLOOR(p_partkey/16.0) AS INT)*10.625 AS t_lat_max "
+    "FROM part"
+)
+
+_DOC_TS_SQL = (
+    "CASE WHEN doc_id % 11 = 0 THEN NULL "
+    "ELSE TIMESTAMP '2020-01-01 00:00:00' + (doc_id*977) * INTERVAL 1 SECOND END"
+)
+
+
+def _dec(col: str) -> F.Column:
+    return F.col(col).cast("decimal(18,4)")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: sf0.001 documents → derived pages → full STAC pipeline."""
+    from stac_populator_spark.datagen import pages_from_documents
+    from stac_populator_spark.plans.pipeline import build_items
+    from stac_populator_spark.operators.spatial_join import footprint_cover_df
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _t(spark, sf_dir, "documents")
+    pages = pages_from_documents(docs)
+    fps = _nation_footprints(spark, sf_dir).toPandas()
+    fps = fps.rename(columns={c: c[2:] for c in ("f_lon_min", "f_lat_min", "f_lon_max", "f_lat_max")})
+    fps["bbox"] = fps[["lon_min", "lat_min", "lon_max", "lat_max"]].values.tolist()
+    fps["ring"] = None
+    cover = footprint_cover_df(spark, fps[["collection_id", "bbox", "ring"]])
+    items = build_items(pages, cover, exact="rect")
+    return items.select(
+        "id", "url", "lang", "collection_id", "cell_s2", "cell_hex", "tile_id", "bbox", "stac_json"
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(_dec("l_quantity")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(_dec("l_extendedprice")).cast("double"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))).cast("double"),
+                2,
+            ).alias("sum_disc_price"),
+            F.round((F.sum(_dec("l_quantity")) / F.count(F.lit(1))).cast("double"), 2).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _q3_topk_revenue(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1997-06-01").cast("date"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1997-06-01").cast("date"))
+    rev = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.round(F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))).cast("double"), 2).alias("revenue")
+        )
+    )
+    return rev.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc()).limit(10)
+
+
+def _q5_nation_revenue(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))).cast("double"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def _top_customer_per_nation(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    top = c.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return top.join(F.broadcast(n), top.c_nationkey == n.n_nationkey).select(
+        "n_name", "c_custkey", "c_name", F.round(F.col("c_acctbal"), 2).alias("acctbal")
+    )
+
+
+def _events_daily(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(_dec("value")).cast("double"), 2).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def _orders_semi(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-06-01").cast("date"))
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def _customers_no_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def _doc_points_tiles(spark, sf_dir):
+    from stac_populator_spark.operators.cells import grid_cell_udf
+    from stac_populator_spark.operators.tiles import tile_xy_cols
+
+    pts = _doc_points(_t(spark, sf_dir, "documents"))
+    x, y = tile_xy_cols(7)
+    return pts.select(
+        "doc_id",
+        F.round("lon", 6).alias("lon"),
+        F.round("lat", 6).alias("lat"),
+        x.alias("tile_x"),
+        y.alias("tile_y"),
+        grid_cell_udf(F.col("lon"), F.col("lat")).alias("cell_grid"),
+    )
+
+
+def _pip_points(spark, sf_dir):
+    from stac_populator_spark.operators.cells import grid_cell_udf
+    from stac_populator_spark.operators.spatial_join import footprint_cover_df, pip_join
+
+    pts = _doc_points(_t(spark, sf_dir, "documents")).withColumn(
+        "cell_grid", grid_cell_udf(F.col("lon"), F.col("lat"))
+    )
+    fps = _nation_footprints(spark, sf_dir).toPandas()
+    fps = fps.rename(columns={c: c[2:] for c in ("f_lon_min", "f_lat_min", "f_lon_max", "f_lat_max")})
+    fps["bbox"] = fps[["lon_min", "lat_min", "lon_max", "lat_max"]].values.tolist()
+    fps["ring"] = None
+    cover = footprint_cover_df(spark, fps[["collection_id", "bbox", "ring"]])
+    return pip_join(pts, cover, exact="pip").select("doc_id", "collection_id")
+
+
+def _tiles_footprints(spark, sf_dir):
+    from stac_populator_spark.operators.tiles import assign_tiles_to_footprints
+
+    tiles = _part_tiles(spark, sf_dir)
+    fps = _nation_footprints(spark, sf_dir)
+    return assign_tiles_to_footprints(tiles, fps)
+
+
+def _knn_docs(spark, sf_dir):
+    pts = _doc_points(_t(spark, sf_dir, "documents")).filter(F.col("doc_id") % 7 == 0)
+    l = pts.select(F.col("doc_id").alias("doc_id"), F.col("lon").alias("l_lon"), F.col("lat").alias("l_lat"))
+    r = pts.select(F.col("doc_id").alias("neighbor_id"), F.col("lon").alias("r_lon"), F.col("lat").alias("r_lat"))
+    pairs = l.crossJoin(r).filter(F.col("doc_id") != F.col("neighbor_id"))
+    dist2 = (F.col("l_lon") - F.col("r_lon")) ** 2 + (F.col("l_lat") - F.col("r_lat")) ** 2
+    w = Window.partitionBy("doc_id").orderBy(F.col("dist2").asc(), F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("dist2", dist2)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "neighbor_id", "rank", F.round("dist2", 4).alias("dist2_r"))
+    )
+
+
+def _collection_extent(spark, sf_dir):
+    from stac_populator_spark.operators.collection_agg import collection_extent
+
+    matched = _pip_points(spark, sf_dir)
+    pts = _doc_points(_t(spark, sf_dir, "documents"))
+    items = (
+        matched.join(pts, "doc_id")
+        .withColumn("lon_min", F.col("lon"))
+        .withColumn("lat_min", F.col("lat"))
+        .withColumn("lon_max", F.col("lon"))
+        .withColumn("lat_max", F.col("lat"))
+        .withColumn(
+            "datetime",
+            F.when(
+                F.col("doc_id") % 11 != 0,
+                F.expr("timestampadd(SECOND, doc_id*977, timestamp'2020-01-01 00:00:00')"),
+            ),
+        )
+    )
+    ext = collection_extent(items)
+    return ext.select(
+        "collection_id",
+        F.round(F.element_at("bbox", 1), 6).alias("lon_min"),
+        F.round(F.element_at("bbox", 2), 6).alias("lat_min"),
+        F.round(F.element_at("bbox", 3), 6).alias("lon_max"),
+        F.round(F.element_at("bbox", 4), 6).alias("lat_max"),
+        F.date_format("interval_start", "yyyy-MM-dd HH:mm:ss").alias("interval_start"),
+        F.date_format("interval_end", "yyyy-MM-dd HH:mm:ss").alias("interval_end"),
+        "item_count",
+    )
+
+
+def _dedup_exact(spark, sf_dir):
+    from stac_populator_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def _token_stats(spark, sf_dir):
+    from stac_populator_spark.operators.textstats import with_token_stats
+
+    d = with_token_stats(_t(spark, sf_dir, "documents"))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum("n_tokens") / F.count(F.lit(1)), 4).alias("avg_tokens"),
+        F.sum("n_bpe_tokens").alias("total_bpe"),
+        F.min("n_chars_calc").alias("min_chars"),
+        F.max("n_chars_calc").alias("max_chars"),
+    )
+
+
+def _quality_by_source(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    length = F.length("text")
+    alpha = F.length(F.regexp_replace(F.col("text"), r"[^A-Za-z]", ""))
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    distinct_ratio = F.size(F.array_distinct(toks)) / F.size(toks)
+    d = d.select(
+        "source",
+        (alpha / length).alias("alpha_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("alpha_ratio"), 4).alias("avg_alpha_ratio"),
+        F.round(F.avg("distinct_ratio"), 4).alias("avg_distinct_ratio"),
+    )
+
+
+def _summaries_typed(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.array_join(F.array_sort(F.collect_set("source")), ",").alias("sources"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def _lang_skew_counts(spark, sf_dir):
+    from stac_populator_spark.operators.skew import two_phase_count
+
+    d = _t(spark, sf_dir, "documents")
+    return two_phase_count(d, "lang", "doc_id", n_salts=8).select(
+        "lang", F.col("cnt").alias("n_docs")
+    )
+
+
+def _ann_cosine(spark, sf_dir):
+    from stac_populator_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, queries, k=5)
+
+
+# --- rows-only (non-SQL-expressible) ---
+
+def _minhash_neardup(spark, sf_dir):
+    from stac_populator_spark.operators.dedup import minhash_near_duplicates
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_near_duplicates(d, threshold=0.5).select(
+        "a", "b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+def _simhash_pairs(spark, sf_dir):
+    from stac_populator_spark.operators.dedup import simhash_candidates, simhash_signature
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = simhash_signature(d)
+    return simhash_candidates(sigs, max_hamming=3)
+
+
+def _stac_flagship(spark, sf_dir):
+    from stac_populator_spark.datagen import pages_from_documents
+    from stac_populator_spark.plans.pipeline import build_items
+    from stac_populator_spark.operators.spatial_join import footprint_cover_df
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = pages_from_documents(docs)
+    fps = _nation_footprints(spark, sf_dir).toPandas()
+    fps = fps.rename(columns={c: c[2:] for c in ("f_lon_min", "f_lat_min", "f_lon_max", "f_lat_max")})
+    fps["bbox"] = fps[["lon_min", "lat_min", "lon_max", "lat_max"]].values.tolist()
+    fps["ring"] = None
+    cover = footprint_cover_df(spark, fps[["collection_id", "bbox", "ring"]])
+    items = build_items(pages, cover, exact="rect")
+    return items.select("id", "collection_id", "cell_s2", "cell_hex", "tile_id", "stac_json")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": _q1_pricing_summary,
+        "q3_topk_revenue": _q3_topk_revenue,
+        "q5_nation_revenue": _q5_nation_revenue,
+        "top_customer_per_nation": _top_customer_per_nation,
+        "events_daily": _events_daily,
+        "orders_semi": _orders_semi,
+        "customers_no_orders": _customers_no_orders,
+        "doc_points_tiles": _doc_points_tiles,
+        "pip_points": _pip_points,
+        "tiles_footprints": _tiles_footprints,
+        "knn_docs": _knn_docs,
+        "collection_extent": _collection_extent,
+        "dedup_exact": _dedup_exact,
+        "token_stats": _token_stats,
+        "quality_by_source": _quality_by_source,
+        "summaries_typed": _summaries_typed,
+        "lang_skew_counts": _lang_skew_counts,
+        "ann_cosine": _ann_cosine,
+        "minhash_neardup": _minhash_neardup,
+        "simhash_pairs": _simhash_pairs,
+        "stac_flagship": _stac_flagship,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    dec = "CAST({c} AS DECIMAL(18,4))"
+    rev = (
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * "
+        "(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)"
+    )
+    return {
+        "q1_pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(CAST(SUM({dec.format(c='l_quantity')}) AS DOUBLE), 2) AS sum_qty,
+                   ROUND(CAST(SUM({dec.format(c='l_extendedprice')}) AS DOUBLE), 2) AS sum_base_price,
+                   ROUND({rev}, 2) AS sum_disc_price,
+                   ROUND(CAST(SUM({dec.format(c='l_quantity')}) / COUNT(*) AS DOUBLE), 2) AS avg_qty,
+                   COUNT(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_topk_revenue": f"""
+            SELECT o_orderkey, o_orderpriority, ROUND({rev}, 2) AS revenue
+            FROM customer JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < DATE '1997-06-01' AND l_shipdate > DATE '1997-06-01'
+            GROUP BY o_orderkey, o_orderpriority
+            ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+        """,
+        "q5_nation_revenue": f"""
+            SELECT n_name, ROUND({rev}, 2) AS revenue, COUNT(*) AS n_lineitems
+            FROM customer JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "top_customer_per_nation": """
+            SELECT n_name, c_custkey, c_name, ROUND(c_acctbal, 2) AS acctbal
+            FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                        ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+              FROM customer
+            ) t JOIN nation ON c_nationkey = n_nationkey
+            WHERE rn = 1
+        """,
+        "events_daily": """
+            SELECT STRFTIME(ts, '%Y-%m-%d') AS day, event_type,
+                   COUNT(*) AS n_events,
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1, 2
+        """,
+        "orders_semi": """
+            SELECT o_orderpriority, COUNT(*) AS n_orders
+            FROM orders WHERE EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > DATE '1998-06-01')
+            GROUP BY o_orderpriority
+        """,
+        "customers_no_orders": """
+            SELECT c_mktsegment, COUNT(*) AS n_customers
+            FROM customer WHERE NOT EXISTS (
+              SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY c_mktsegment
+        """,
+        "doc_points_tiles": f"""
+            SELECT doc_id, ROUND(lon, 6) AS lon, ROUND(lat, 6) AS lat,
+                   GREATEST(0, LEAST(127, CAST(FLOOR((lon + 180.0) / (360.0/128)) AS INT))) AS tile_x,
+                   GREATEST(0, LEAST(127, CAST(FLOOR((85.0 - lat) / (170.0/128)) AS INT))) AS tile_y,
+                   CAST(FLOOR((lon + 180.0) / 4.0) AS BIGINT) * 1000
+                     + CAST(FLOOR((lat + 90.0) / 4.0) AS BIGINT) AS cell_grid
+            FROM ({_DOC_POINTS_SQL}) pts
+        """,
+        "pip_points": f"""
+            SELECT doc_id, collection_id
+            FROM ({_DOC_POINTS_SQL}) p
+            JOIN ({_FOOTPRINTS_SQL}) f
+              ON p.lon >= f.f_lon_min AND p.lon <= f.f_lon_max
+             AND p.lat >= f.f_lat_min AND p.lat <= f.f_lat_max
+        """,
+        "tiles_footprints": f"""
+            SELECT tile_id, collection_id
+            FROM ({_TILES_SQL}) t JOIN ({_FOOTPRINTS_SQL}) f
+              ON t.t_lon_min <= f.f_lon_max AND t.t_lon_max >= f.f_lon_min
+             AND t.t_lat_min <= f.f_lat_max AND t.t_lat_max >= f.f_lat_min
+        """,
+        "knn_docs": f"""
+            WITH pts AS (SELECT * FROM ({_DOC_POINTS_SQL}) WHERE doc_id % 7 = 0),
+            pairs AS (
+              SELECT a.doc_id AS doc_id, b.doc_id AS neighbor_id,
+                     (a.lon-b.lon)*(a.lon-b.lon) + (a.lat-b.lat)*(a.lat-b.lat) AS dist2
+              FROM pts a JOIN pts b ON a.doc_id <> b.doc_id
+            )
+            SELECT doc_id, neighbor_id, rank, ROUND(dist2, 4) AS dist2_r FROM (
+              SELECT doc_id, neighbor_id, dist2, ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY dist2 ASC, neighbor_id ASC) AS rank
+              FROM pairs
+            ) WHERE rank <= 3
+        """,
+        "collection_extent": f"""
+            WITH matched AS (
+              SELECT doc_id, collection_id, lon, lat
+              FROM ({_DOC_POINTS_SQL}) p
+              JOIN ({_FOOTPRINTS_SQL}) f
+                ON p.lon >= f.f_lon_min AND p.lon <= f.f_lon_max
+               AND p.lat >= f.f_lat_min AND p.lat <= f.f_lat_max
+            ), items AS (
+              SELECT *, {_DOC_TS_SQL} AS ts FROM matched
+            )
+            SELECT collection_id,
+                   ROUND(MIN(lon), 6) AS lon_min, ROUND(MIN(lat), 6) AS lat_min,
+                   ROUND(MAX(lon), 6) AS lon_max, ROUND(MAX(lat), 6) AS lat_max,
+                   CASE WHEN BOOL_OR(ts IS NULL) THEN NULL
+                        ELSE STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') END AS interval_start,
+                   CASE WHEN BOOL_OR(ts IS NULL) THEN NULL
+                        ELSE STRFTIME(MAX(ts), '%Y-%m-%d %H:%M:%S') END AS interval_end,
+                   COUNT(*) AS item_count
+            FROM items GROUP BY collection_id
+        """,
+        "dedup_exact": """
+            SELECT MD5(text) AS text_hash, COUNT(*) AS n_dups, MIN(doc_id) AS canonical_id
+            FROM documents GROUP BY MD5(text)
+        """,
+        "token_stats": r"""
+            WITH d AS (
+              SELECT lang,
+                     ARRAY_LENGTH(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS n_tokens,
+                     ARRAY_LENGTH(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]')) AS n_bpe_tokens,
+                     LENGTH(text) AS n_chars_calc
+              FROM documents
+            )
+            SELECT lang, COUNT(*) AS n_docs,
+                   ROUND(CAST(SUM(n_tokens) AS BIGINT) / CAST(COUNT(*) AS DOUBLE), 4) AS avg_tokens,
+                   CAST(SUM(n_bpe_tokens) AS BIGINT) AS total_bpe,
+                   MIN(n_chars_calc) AS min_chars, MAX(n_chars_calc) AS max_chars
+            FROM d GROUP BY lang
+        """,
+        "quality_by_source": r"""
+            WITH d AS (
+              SELECT source,
+                     CAST(LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                       / LENGTH(text) AS alpha_ratio,
+                     CAST(ARRAY_LENGTH(LIST_DISTINCT(STRING_SPLIT_REGEX(TRIM(text), '\s+'))) AS DOUBLE)
+                       / ARRAY_LENGTH(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS distinct_ratio
+              FROM documents
+            )
+            SELECT source, COUNT(*) AS n_docs,
+                   ROUND(AVG(alpha_ratio), 4) AS avg_alpha_ratio,
+                   ROUND(AVG(distinct_ratio), 4) AS avg_distinct_ratio
+            FROM d GROUP BY source
+        """,
+        "summaries_typed": """
+            SELECT lang,
+                   (SELECT STRING_AGG(s, ',' ORDER BY s)
+                    FROM (SELECT DISTINCT source AS s FROM documents d2
+                          WHERE d2.lang = d.lang)) AS sources,
+                   MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+                   COUNT(*) AS n_docs
+            FROM documents d GROUP BY lang
+        """,
+        "lang_skew_counts": "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang",
+        "ann_cosine": """
+            WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id % 100 = 0),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     LIST_DOT_PRODUCT(q.qv, e.v)
+                       / (SQRT(LIST_DOT_PRODUCT(q.qv, q.qv)) * SQRT(LIST_DOT_PRODUCT(e.v, e.v))) AS cos
+              FROM emb e CROSS JOIN q
+            )
+            SELECT query_id, vec_id, ROUND(cos, 6) AS cos, rank FROM (
+              SELECT query_id, vec_id, cos, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
+    }
+
+
+if __name__ == "__main__":
+    from stac_populator_spark.session import get_spark
+
+    spark = get_spark()
+    df = entry(spark)
+    print("entry rows:", df.count())
+    df.show(5, truncate=80)

@@ -1,0 +1,99 @@
+"""Bench harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Every query is materialized through the noop sink so projections (STAC
+JSON, signatures) are actually computed — a bare count() would let
+Catalyst prune the expensive columns.
+
+Extra keys (informational): pages_per_sec for the synthetic-pages flagship
+pipeline (the BASELINE.json primary metric), n_pages, cpus.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "200000"))
+
+
+def materialize(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main():
+    from stac_populator_spark.session import get_spark
+    import __spark_entry__ as E
+
+    spark = get_spark(app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS * 2)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+
+    qs = E.queries()
+    headline = [
+        "q1_pricing_summary",
+        "q3_topk_revenue",
+        "q5_nation_revenue",
+        "events_daily",
+        "doc_points_tiles",
+        "pip_points",
+        "knn_docs",
+        "collection_extent",
+        "dedup_exact",
+        "token_stats",
+        "ann_cosine",
+        "minhash_neardup",
+        "simhash_pairs",
+        "stac_flagship",
+    ]
+    timings: dict[str, float] = {}
+    for name in headline:
+        t0 = time.time()
+        materialize(qs[name](spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    # primary metric: synthetic-pages flagship pipeline throughput.
+    # pages are materialized to parquet once (untimed) — the timed job
+    # reads the table like the production Iceberg scan would.
+    from stac_populator_spark.datagen import footprints_pdf, pages_df
+    from stac_populator_spark.operators.spatial_join import footprint_cover_df
+    from stac_populator_spark.plans.pipeline import build_items
+
+    pages_path = f"/tmp/spark_graft_bench_pages_{N_PAGES}.parquet"
+    if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
+        pages_df(spark, N_PAGES, partitions=CPUS * 2).write.mode("overwrite").parquet(pages_path)
+    cover = footprint_cover_df(spark, footprints_pdf())
+    pages = spark.read.parquet(pages_path)
+    # warmup (JIT + Arrow init)
+    materialize(build_items(pages.limit(2000), cover))
+    t0 = time.time()
+    materialize(build_items(pages, cover))
+    pages_sec = round(time.time() - t0, 3)
+    timings["pages_pipeline"] = pages_sec
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall time (sf bench) + pages-pipeline throughput",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "pages_per_sec": round(N_PAGES / pages_sec, 1),
+                "n_pages": N_PAGES,
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+"""Spatial cell-encoding stage: S2 level-12 + H3-res-7-compatible hex +
+coarse join grid, in one Arrow pass (north_rule indexing requirement).
+
+Three index columns per item:
+- ``cell_s2``   — S2 level-12 id (functions.s2), the canonical spatial key
+- ``cell_hex``  — hex res-7 id (functions.hexgrid), used by kNN k-ring
+- ``cell_grid`` — coarse fixed grid (GRID_DEG°), the candidate key for the
+  broadcast PIP join (footprint covers are tiny at this granularity)
+
+All three are pure functions of (lon, lat); the stage is narrow (no
+shuffle) and JVM→Arrow batched.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..functions.hexgrid import hex_cell
+from ..functions.s2 import s2_cell_id
+
+GRID_DEG = 4.0
+S2_LEVEL = 12
+HEX_RES = 7
+
+
+def grid_cell_np(lon, lat, grid_deg: float = GRID_DEG) -> np.ndarray:
+    """Coarse grid id: gx * 1000 + gy; -1 for null geometry. Matches the
+    SQL-expressible formula used by the DuckDB oracle
+    (floor((lon+180)/g)*1000 + floor((lat+90)/g))."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    nan = ~np.isfinite(lon) | ~np.isfinite(lat)
+    gx = np.floor((np.where(nan, 0.0, lon) + 180.0) / grid_deg).astype(np.int64)
+    gy = np.floor((np.where(nan, 0.0, lat) + 90.0) / grid_deg).astype(np.int64)
+    nx = int(np.ceil(360.0 / grid_deg))
+    gx = np.clip(gx, 0, nx - 1)  # lon=180 folds into the last column
+    return np.where(nan, np.int64(-1), gx * 1000 + gy)
+
+
+@pandas_udf(T.LongType())
+def s2_cell_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
+    return pd.Series(s2_cell_id(lon.to_numpy(), lat.to_numpy(), S2_LEVEL))
+
+
+@pandas_udf(T.LongType())
+def hex_cell_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
+    return pd.Series(hex_cell(lon.to_numpy(), lat.to_numpy(), HEX_RES))
+
+
+@pandas_udf(T.LongType())
+def grid_cell_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
+    return pd.Series(grid_cell_np(lon.to_numpy(), lat.to_numpy()))
+
+
+def encode_cells(items: DataFrame, lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
+    """Append cell_s2 / cell_hex / cell_grid columns (null geometry → null)."""
+    lon, lat = F.col(lon_col), F.col(lat_col)
+    has = lon.isNotNull() & lat.isNotNull()
+    return (
+        items.withColumn("cell_s2", F.when(has, s2_cell_udf(lon, lat)))
+        .withColumn("cell_hex", F.when(has, hex_cell_udf(lon, lat)))
+        .withColumn("cell_grid", F.when(has, grid_cell_udf(lon, lat)))
+    )

@@ -1,0 +1,122 @@
+"""kNN item-to-item matching (J6 in SURVEY.md §2.4).
+
+Scale design: a brute-force kNN is O(n²) shuffle — impossible at 10^12
+rows. Instead we bucket items by hex cell at a chosen resolution and
+self-join each item against items in its cell's k-ring neighborhood:
+
+    left:  (id, lon, lat, cell)           — exploded to its k-ring cells
+    right: (id, lon, lat, cell)           — partitioned by cell
+    join on cell  →  candidate pairs  →  haversine distance
+    →  Window.partitionBy(left_id).orderBy(dist, right_id) rank ≤ k
+
+The join key (hex cell) is data-skewed (cities vs oceans) — `salt_keys`
+(operators.skew) + AQE skew-join handle the hot cells. The k-ring radius
+bounds the search; items whose true k-th neighbor lies beyond the ring get
+their ring-local top-k (documented approximation; `knn_bruteforce` is the
+exact oracle used by tests and small data).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..functions.geometry import haversine_km
+from ..functions.hexgrid import hex_cell, hex_kring
+
+
+@pandas_udf(T.DoubleType())
+def haversine_udf(lon1: pd.Series, lat1: pd.Series, lon2: pd.Series, lat2: pd.Series) -> pd.Series:
+    return pd.Series(haversine_km(lon1.to_numpy(), lat1.to_numpy(), lon2.to_numpy(), lat2.to_numpy()))
+
+
+def _kring_schema():
+    return T.ArrayType(T.LongType())
+
+
+def kring_udf(radius: int):
+    @pandas_udf(_kring_schema())
+    def _udf(cell: pd.Series) -> pd.Series:
+        cells = cell.to_numpy(dtype=np.int64)
+        rings = hex_kring(cells, radius)
+        return pd.Series(list(rings))
+
+    return _udf
+
+
+def hex_cell_at_res(res: int):
+    @pandas_udf(T.LongType())
+    def _udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(hex_cell(lon.to_numpy(), lat.to_numpy(), res))
+
+    return _udf
+
+
+def knn_join(
+    items: DataFrame,
+    k: int = 3,
+    res: int = 4,
+    radius: int = 1,
+    id_col: str = "id",
+) -> DataFrame:
+    """Cell-bucketed approximate kNN. Returns (id, neighbor_id, dist_km,
+    rank). ``res`` picks the bucket size (res 4 hexes ≈ 35 km edge on the
+    compat grid); choose so the expected k-th neighbor distance ≪ ring
+    extent."""
+    pts = (
+        items.filter(F.col("lon").isNotNull() & F.col("lat").isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            "lon",
+            "lat",
+            hex_cell_at_res(res)(F.col("lon"), F.col("lat")).alias("cell"),
+        )
+    )
+    left = pts.select(
+        F.col("id").alias("l_id"),
+        F.col("lon").alias("l_lon"),
+        F.col("lat").alias("l_lat"),
+        F.explode(kring_udf(radius)(F.col("cell"))).alias("cell"),
+    )
+    right = pts.select(
+        F.col("id").alias("r_id"),
+        F.col("lon").alias("r_lon"),
+        F.col("lat").alias("r_lat"),
+        "cell",
+    )
+    pairs = (
+        left.join(right, "cell")
+        .filter(F.col("l_id") != F.col("r_id"))
+        .withColumn("dist_km", haversine_udf("l_lon", "l_lat", "r_lon", "r_lat"))
+    )
+    w = Window.partitionBy("l_id").orderBy(F.col("dist_km").asc(), F.col("r_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("l_id").alias("id"), F.col("r_id").alias("neighbor_id"), "dist_km", "rank")
+    )
+
+
+def knn_bruteforce(items: DataFrame, k: int = 3, id_col: str = "id") -> DataFrame:
+    """Exact O(n²) kNN via cross-join — the correctness oracle for small
+    inputs (FIXTURES.md §4); never run at scale."""
+    pts = items.filter(F.col("lon").isNotNull() & F.col("lat").isNotNull()).select(
+        F.col(id_col).alias("id"), "lon", "lat"
+    )
+    l = pts.select(F.col("id").alias("l_id"), F.col("lon").alias("l_lon"), F.col("lat").alias("l_lat"))
+    r = pts.select(F.col("id").alias("r_id"), F.col("lon").alias("r_lon"), F.col("lat").alias("r_lat"))
+    pairs = (
+        l.crossJoin(r)
+        .filter(F.col("l_id") != F.col("r_id"))
+        .withColumn("dist_km", haversine_udf("l_lon", "l_lat", "r_lon", "r_lat"))
+    )
+    w = Window.partitionBy("l_id").orderBy(F.col("dist_km").asc(), F.col("r_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("l_id").alias("id"), F.col("r_id").alias("neighbor_id"), "dist_km", "rank")
+    )

@@ -1,0 +1,111 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language-ID heuristic, document fingerprinting.
+
+All pure ``pyspark.sql.functions`` column expressions — whole-stage
+codegen, zero Python. These are the graft analogues of the reference's
+per-item property derivations (prefix props, validators —
+/root/reference/STACpopulator/extensions/cmip6.py:112-131) applied to web
+text instead of CF metadata.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish token regex: word pieces, numbers, or single non-space symbols.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]"
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del"],
+    "de": ["der", "die", "und", "das", "von", "zu", "den", "ist"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une"],
+    "pt": ["o", "a", "de", "que", "e", "do", "da", "em"],
+    "ru": ["и", "в", "не", "на", "что", "с", "это", "как"],
+    "zh": ["的", "了", "是", "在", "我", "有", "和", "不"],
+    "ja": ["の", "に", "は", "を", "た", "が", "で", "て"],
+}
+
+
+def tokens_col(text_col: str = "text") -> F.Column:
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n_tokens (whitespace), n_bpe_tokens (BPE-ish regex), n_chars,
+    avg_token_len."""
+    toks = tokens_col(text_col)
+    bpe = F.regexp_count(F.col(text_col), F.lit(BPE_TOKEN_RE))
+    return (
+        df.withColumn("n_tokens", F.size(toks))
+        .withColumn("n_bpe_tokens", bpe)
+        .withColumn("n_chars_calc", F.length(text_col))
+        .withColumn(
+            "avg_token_len",
+            F.round(F.length(F.regexp_replace(F.col(text_col), r"\s+", "")) / F.greatest(F.size(toks), F.lit(1)), 4),
+        )
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + composite score: length band, alpha
+    ratio, punctuation ratio, stopword(en) hit ratio, repetition ratio."""
+    length = F.length(F.col(text_col))
+    alpha = F.length(F.regexp_replace(F.col(text_col), r"[^A-Za-z]", ""))
+    punct = F.length(F.regexp_replace(F.col(text_col), r"[^.,;:!?]", ""))
+    toks = tokens_col(text_col)
+    n_toks = F.greatest(F.size(toks), F.lit(1))
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_toks
+    stop_hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS["en"]])))
+    d = (
+        df.withColumn("alpha_ratio", F.round(alpha / F.greatest(length, F.lit(1)), 4))
+        .withColumn("punct_ratio", F.round(punct / F.greatest(length, F.lit(1)), 4))
+        .withColumn("distinct_ratio", F.round(distinct_ratio, 4))
+        .withColumn("stop_distinct_hits", stop_hits)
+    )
+    score = (
+        F.when(length < 32, 0.2).when(length > 20000, 0.5).otherwise(1.0)
+        * (F.lit(0.5) + F.lit(0.5) * F.col("alpha_ratio"))
+        * (F.lit(0.5) + F.lit(0.5) * F.col("distinct_ratio"))
+    )
+    return d.withColumn("quality_score", F.round(score, 4))
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID: predicted lang = argmax over per-language
+    distinct-stopword hits (ties → lexicographically first lang). Pure
+    array expressions over a literal stopword table — the broadcast-lookup
+    pattern of the reference's controlled vocabularies
+    (/root/reference/STACpopulator/extensions/cmip6.py:47-67)."""
+    toks = tokens_col(text_col)
+    scored = F.array(
+        *[
+            F.struct(
+                F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in ws]))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, ws in sorted(STOPWORDS.items())
+        ]
+    )
+    # array_max on struct orders by first field then second — to get
+    # "max hits, tie → first lang", invert lang ordering is overkill; take
+    # max hits then the first lang achieving it.
+    best_hits = F.array_max(F.transform(scored, lambda s: s["hits"]))
+    pred = F.element_at(F.filter(scored, lambda s: s["hits"] == best_hits), 1)["lang"]
+    return df.withColumn(
+        "lang_pred", F.when(best_hits > 0, pred).otherwise(F.lit("unknown"))
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit rolling hash over tokens: fp = fold(tokens, 0,
+    xxhash64(acc, tok)) — hash chaining as a single JVM ``aggregate``
+    expression (order-sensitive, overflow-free under ANSI mode)."""
+    toks = tokens_col(text_col)
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: F.xxhash64(acc, t),
+    )
+    return df.withColumn("fingerprint", fp)

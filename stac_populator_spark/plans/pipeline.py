@@ -1,0 +1,66 @@
+"""The flagship end-to-end pipeline (SURVEY.md §7.1 milestone-1 slice).
+
+    pages(url, warc_ts, html, text, lang)
+      → extract_items        (vectorized parse; P2/P4/P5/P8 semantics)
+      → encode_cells         (S2 L12 + hex r7 + join grid)
+      → pip_join             (broadcast footprint cover; J5)
+      → assign_items_to_tiles(arithmetic tile ids; J7)
+      → stac_item_json       (STAC-valid Feature per item)
+      → collection_extent    (A1/A2 groupBy union)
+
+Spark lifecycle (SURVEY.md §3.1): one declarative DAG — Catalyst prunes
+columns into the parquet scan, the only wide exchange is the collection
+aggregation's final groupBy (map-side partial aggregation first), the PIP
+join is broadcast (no fact shuffle). Stage boundaries are optionally
+snapshot-checkpointed (sources.checkpoint) for kill-resume.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.cells import encode_cells
+from ..operators.collection_agg import collection_extent
+from ..operators.extract import extract_items
+from ..operators.spatial_join import footprint_cover_df, pip_join
+from ..operators.stac_json import stac_item_json
+from ..operators.tiles import assign_items_to_tiles
+from ..sources.checkpoint import CheckpointedPipeline
+
+
+def build_items(pages: DataFrame, cover: DataFrame, exact: str = "rect",
+                tile_z: int = 7) -> DataFrame:
+    """pages → STAC items with cells, collection match and tile id (the
+    narrow+broadcast portion — no fact-side shuffle anywhere)."""
+    items = extract_items(pages)
+    items = encode_cells(items)
+    geo = items.filter(items.lon.isNotNull())
+    joined = pip_join(geo, cover, exact=exact)
+    tiled = assign_items_to_tiles(joined, z=tile_z)
+    return stac_item_json(tiled)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    footprints_pdf: pd.DataFrame,
+    checkpoint_root: str | None = None,
+    exact: str = "rect",
+) -> dict:
+    """Full run: items + collection extents (+ optional checkpointing).
+
+    Returns {"items": DataFrame, "collections": DataFrame, "metrics": dict}.
+    """
+    cover = footprint_cover_df(spark, footprints_pdf)
+
+    if checkpoint_root:
+        cp = CheckpointedPipeline(spark, checkpoint_root)
+        items = cp.run_stage("items", lambda: build_items(pages, cover, exact=exact))
+        collections = cp.run_stage("collections", lambda: collection_extent(items))
+        metrics = cp.stage_metrics()
+    else:
+        items = build_items(pages, cover, exact=exact)
+        collections = collection_extent(items)
+        metrics = {}
+    return {"items": items, "collections": collections, "metrics": metrics}

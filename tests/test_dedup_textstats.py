@@ -1,0 +1,150 @@
+"""Dedup family (exact / MinHash-LSH / SimHash / Jaccard), text stats,
+language ID, fingerprint, similarity search — crafted-corpus tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from stac_populator_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_candidates,
+    minhash_near_duplicates,
+    minhash_signatures,
+    simhash_candidates,
+    simhash_signature,
+)
+from stac_populator_spark.operators.similarity import (
+    cosine_near_duplicates,
+    cosine_topk,
+)
+from stac_populator_spark.operators.textstats import (
+    with_fingerprint,
+    with_lang_id,
+    with_quality_score,
+    with_token_stats,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat sleeps "
+    "near the warm fire and the rain falls softly outside the window"
+)
+NEAR = BASE.replace("lazy dog", "sleepy dog")  # one-token change
+FAR = "completely different content about spark dataframes and shuffles at scale"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),          # exact duplicate of 0
+        (2, NEAR),          # near duplicate of 0
+        (3, FAR),
+        (4, "short text"),
+        (5, FAR + " with an extra tail of words"),
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"])).cache()
+
+
+def test_exact_dedup(spark, corpus):
+    out = {r["text_hash"]: r for r in exact_dedup(corpus).collect()}
+    dups = [r for r in out.values() if r["n_dups"] > 1]
+    assert len(dups) == 1
+    assert dups[0]["n_dups"] == 2 and dups[0]["canonical_id"] == 0
+
+
+def test_minhash_finds_near_duplicates(spark, corpus):
+    pairs = {(r["a"], r["b"]): r["jaccard"] for r in minhash_near_duplicates(corpus, threshold=0.5).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0   # exact dup
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.6    # near dup
+    assert (0, 3) not in pairs and (1, 3) not in pairs
+
+
+def test_minhash_signature_determinism(spark, corpus):
+    s1 = minhash_signatures(corpus).orderBy("doc_id").collect()
+    s2 = minhash_signatures(corpus.repartition(5)).orderBy("doc_id").collect()
+    assert [tuple(r) for r in s1] == [tuple(r) for r in s2]
+    # identical docs → identical signatures
+    assert tuple(s1[0])[1:] == tuple(s1[1])[1:]
+
+
+def test_jaccard_exact_values(spark, corpus):
+    pairs = spark.createDataFrame(pd.DataFrame({"a": [0], "b": [1]}))
+    j = jaccard_pairs(corpus, pairs).collect()[0]
+    assert j["jaccard"] == 1.0
+
+
+def test_simhash_near_pairs(spark, corpus):
+    sigs = simhash_signature(corpus)
+    rows = {r["doc_id"]: r["simhash"] for r in sigs.collect()}
+    assert rows[0] == rows[1]  # identical text → identical simhash
+    cands = {(r["a"], r["b"]): r["hamming"] for r in simhash_candidates(sigs, max_hamming=16).collect()}
+    assert cands[(0, 1)] == 0
+    assert (0, 2) in cands and cands[(0, 2)] <= 16
+    assert (0, 3) not in cands or cands.get((0, 3), 99) > 16
+
+
+def test_token_stats(spark, corpus):
+    out = {r["doc_id"]: r for r in with_token_stats(corpus).collect()}
+    assert out[4]["n_tokens"] == 2
+    assert out[4]["n_bpe_tokens"] == 2
+    assert out[0]["n_tokens"] == len(BASE.split())
+
+
+def test_quality_score_bounds(spark, corpus):
+    out = with_quality_score(corpus).collect()
+    for r in out:
+        assert 0.0 <= r["quality_score"] <= 1.0
+    by_id = {r["doc_id"]: r["quality_score"] for r in out}
+    assert by_id[4] < by_id[0]  # short text scores below real prose
+
+
+def test_lang_id(spark):
+    rows = [
+        (0, "the cat and the dog sat in the garden of the house"),
+        (1, "el gato y el perro en la casa de los abuelos"),
+        (2, "der Hund und die Katze sind in das Haus von den Kindern"),
+        (3, "le chat et le chien dans la maison des grands-parents les aiment"),
+        (4, "xyzzy plugh qwerty"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = {r["doc_id"]: r["lang_pred"] for r in with_lang_id(df).collect()}
+    assert out[0] == "en" and out[1] == "es" and out[2] == "de" and out[3] == "fr"
+    assert out[4] == "unknown"
+
+
+def test_fingerprint_deterministic_and_discriminative(spark, corpus):
+    f1 = {r["doc_id"]: r["fingerprint"] for r in with_fingerprint(corpus).collect()}
+    f2 = {r["doc_id"]: r["fingerprint"] for r in with_fingerprint(corpus.repartition(3)).collect()}
+    assert f1 == f2
+    assert f1[0] == f1[1]
+    assert f1[0] != f1[3]
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((20, 16)).astype(np.float64)
+    base[7] = base[3] * 1.0001 + 1e-5  # near-duplicate pair (3, 7)
+    pdf = pd.DataFrame({"vec_id": range(20), "embedding": [list(map(float, v)) for v in base]})
+    return spark.createDataFrame(pdf).cache()
+
+
+def test_cosine_topk_vs_numpy(spark, vectors):
+    q = vectors.filter(F.col("vec_id") < 2).select(F.col("vec_id").alias("query_id"), "embedding")
+    got = cosine_topk(vectors, q, k=4).collect()
+    pdf = vectors.toPandas().sort_values("vec_id")
+    M = np.stack(pdf["embedding"].map(np.asarray))
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    for qid in (0, 1):
+        cos = Mn @ Mn[qid]
+        order = sorted(range(20), key=lambda j: (-round(cos[j], 9), j))[:4]
+        got_q = sorted([r for r in got if r["query_id"] == qid], key=lambda r: r["rank"])
+        assert [r["vec_id"] for r in got_q] == order
+
+
+def test_cosine_near_duplicates(spark, vectors):
+    pairs = {(r["a"], r["b"]): r["cos"] for r in cosine_near_duplicates(vectors, threshold=0.99, dim=16).collect()}
+    assert (3, 7) in pairs and pairs[(3, 7)] > 0.999
+    assert all(v >= 0.99 for v in pairs.values())

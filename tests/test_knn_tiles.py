@@ -1,0 +1,94 @@
+"""kNN vs brute-force oracle; tile assignment vs pandas oracle
+(SURVEY.md §5.2 item 4)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from stac_populator_spark.datagen import footprints_pdf, tiles_pdf
+from stac_populator_spark.functions.geometry import haversine_km
+from stac_populator_spark.operators.knn import knn_bruteforce, knn_join
+from stac_populator_spark.operators.tiles import assign_items_to_tiles, assign_tiles_to_footprints
+from stac_populator_spark.operators.spatial_join import footprint_cover_df
+
+
+@pytest.fixture(scope="module")
+def clustered_points(spark):
+    # dense clusters so each point's k=3 neighbors are well inside one
+    # k-ring at res 2 (~250 km hexes on the compat grid)
+    rng = np.random.default_rng(7)
+    centers = [(-73.5, 45.5), (2.3, 48.8), (139.7, 35.7), (151.2, -33.9)]
+    rows = []
+    i = 0
+    for cx, cy in centers:
+        for _ in range(40):
+            rows.append((f"p{i:04d}", float(cx + rng.normal(0, 0.3)), float(cy + rng.normal(0, 0.3))))
+            i += 1
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["id", "lon", "lat"])).cache()
+
+
+def test_knn_matches_bruteforce(spark, clustered_points):
+    approx = knn_join(clustered_points, k=3, res=2, radius=1).collect()
+    exact = knn_bruteforce(clustered_points, k=3).collect()
+    a = {(r["id"], r["rank"]): r["neighbor_id"] for r in approx}
+    e = {(r["id"], r["rank"]): r["neighbor_id"] for r in exact}
+    assert a == e
+
+
+def test_knn_bruteforce_numpy_oracle(spark, clustered_points):
+    pdf = clustered_points.toPandas()
+    got = knn_bruteforce(clustered_points, k=1).collect()
+    by_id = {r["id"]: r["neighbor_id"] for r in got}
+    lon, lat = pdf["lon"].to_numpy(), pdf["lat"].to_numpy()
+    for i, row in pdf.iterrows():
+        d = haversine_km(row["lon"], row["lat"], lon, lat)
+        d[i] = np.inf
+        # deterministic tie-break on id mirrors the operator
+        best = min(range(len(d)), key=lambda j: (d[j], pdf["id"].iloc[j]))
+        assert by_id[row["id"]] == pdf["id"].iloc[best]
+
+
+def test_tile_point_assignment(spark):
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": ["a", "b", "c", "d"],
+                "lon": [-180.0, 179.99, 0.0, -73.6],
+                "lat": [85.0, -85.0, 0.0, 45.5],
+            }
+        )
+    )
+    out = {r["id"]: (r["tile_x"], r["tile_y"]) for r in assign_items_to_tiles(pts, z=7).collect()}
+    assert out["a"] == (0, 0)
+    assert out["b"] == (127, 127)
+    assert out["c"] == (64, 64)
+    # -73.6 → floor((106.4)/2.8125)=37 ; 45.5 → floor((39.5)/1.328125)=29
+    assert out["d"] == (37, 29)
+
+
+def test_tiles_footprints_vs_bruteforce(spark):
+    tiles = spark.createDataFrame(tiles_pdf(z=4))
+    fps = footprints_pdf()[:80]
+    cover = footprint_cover_df(spark, fps)
+    parts = (
+        cover.select("collection_id", "f_lon_min", "f_lat_min", "f_lon_max", "f_lat_max")
+        .distinct()
+    )
+    got = {
+        (r["tile_id"], r["collection_id"])
+        for r in assign_tiles_to_footprints(tiles, parts).collect()
+    }
+    # pandas brute force with antimeridian split
+    expected = set()
+    tp = tiles_pdf(z=4)
+    for _, fp in fps.iterrows():
+        lon_min, lat_min, lon_max, lat_max = fp["bbox"]
+        spans = [(lon_min, lon_max)] if lon_min <= lon_max else [(lon_min, 180.0), (-180.0, lon_max)]
+        for s_lo, s_hi in spans:
+            for _, t in tp.iterrows():
+                t_lo, t_la, t_hi, t_lb = t["bbox"][0], t["bbox"][1], t["bbox"][2], t["bbox"][3]
+                if t_lo <= s_hi and t_hi >= s_lo and t_la <= lat_max and t_lb >= lat_min:
+                    expected.add((t["tile_id"], fp["collection_id"]))
+    assert got == expected
+    assert len(got) > 0
