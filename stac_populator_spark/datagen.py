@@ -59,7 +59,9 @@ def pages_pdf(start: int, count: int) -> pd.DataFrame:
         [f"https://site{int(k) % 1000}.example/{l}/page{int(k)}.html" for k, l in zip(i, langs)],
         dtype=object,
     )
-    ts = pd.Timestamp("2024-01-01T00:00:00") + pd.to_timedelta(i * 137, unit="s")
+    # bounded so arbitrarily large row counts stay inside the pandas
+    # nanosecond timestamp range (max year 2262)
+    ts = pd.Timestamp("2024-01-01T00:00:00") + pd.to_timedelta((i * 137) % (86400 * 365 * 50), unit="s")
 
     has_geo = _rand01(i, 2) < 0.80
     lat = (_rand01(i, 3) * 170.0 - 85.0).round(6)
@@ -86,7 +88,10 @@ def pages_pdf(start: int, count: int) -> pd.DataFrame:
                 )
             else:
                 parts.append(f'<meta name="geo.position" content="{lat[k]};{lon[k]}">')
-            iso = (pd.Timestamp("2020-01-01") + pd.Timedelta(seconds=idx * 977)).isoformat()
+            iso = (
+                pd.Timestamp("2020-01-01")
+                + pd.Timedelta(seconds=(idx * 977) % (86400 * 365 * 50))
+            ).isoformat()
             parts.append(f'<meta name="date" content="{iso}">')
         parts.append("</head><body>")
         parts.append("<script>var x = 1 < 2;</script>")

@@ -1,55 +1,70 @@
-"""Deterministic HTML → text/metadata extraction kernel.
+"""Deterministic HTML → text/metadata extraction kernel (Arrow-native).
 
 This is the graft analogue of the reference's per-dataset metadata fetch +
 parse (THREDDSLoader.extract_metadata, /root/reference/STACpopulator/
-input.py:152-170): instead of one NcML GET + xncml parse per item, a pure
-pandas/numpy function processes an Arrow batch of page HTML at a time.
+input.py:152-170): instead of one NcML GET + xncml parse per item, the
+kernel processes an Arrow batch of page HTML at a time using
+pyarrow.compute's RE2 kernels — vectorized C++, ~10µs/row, no per-row
+Python (driver input_hint requirement).
 
 Hard invariant (driver input_hint): **byte-identical extracted text per
-url**, independent of batch boundaries, partitioning, or parallelism level.
-Every operation below is stateless per row (regex substitutions only), so
-text extraction commutes with any repartitioning.
+url**, independent of batch boundaries, partitioning, or parallelism
+level. Every pass below is a stateless per-row substitution, so extraction
+commutes with any repartitioning; all runs share one regex engine (RE2).
 """
 
 from __future__ import annotations
 
-import re
-
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
-# Tags whose content is dropped entirely (not just the tags).
-_DROP_CONTENT = re.compile(
-    r"(?is)<(script|style|noscript)\b[^>]*>.*?</\1\s*>",
-)
-_COMMENTS = re.compile(r"(?s)<!--.*?-->")
+from . import arrowpin  # noqa: F401  (pins Arrow pools in every worker)
+
+# Tags whose content is dropped entirely (not just the tags). RE2 has no
+# backreferences, so the close-tag alternation is spelled out.
+_DROP_CONTENT = r"(?is)<(?:script|style|noscript)\b[^>]*>.*?</(?:script|style|noscript)\s*>"
+_COMMENTS = r"(?s)<!--.*?-->"
 # Block-level tags become newlines so paragraph structure survives.
-_BLOCK_TAGS = re.compile(
-    r"(?i)</?(p|div|br|h[1-6]|li|ul|ol|tr|table|section|article|header|footer|title)\b[^>]*>"
-)
-_ANY_TAG = re.compile(r"(?s)<[^>]*>")
-_ENTITIES = {
-    "&amp;": "&",
-    "&lt;": "<",
-    "&gt;": ">",
-    "&quot;": '"',
-    "&#39;": "'",
-    "&nbsp;": " ",
-}
-_WS_RUN = re.compile(r"[ \t\r\f\v]+")
-_NL_RUN = re.compile(r"\n\s*\n+")
+_BLOCK_TAGS = r"(?i)</?(?:p|div|br|h[1-6]|li|ul|ol|tr|table|section|article|header|footer|title)\b[^>]*>"
+_ANY_TAG = r"(?s)<[^>]*>"
+_ENTITIES = [
+    ("&amp;", "&"),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+]
 
 # <meta name="geo.position" content="{lat};{lon}"> — the page-world analogue
 # of the reference's CF geospatial_{lat,lon}_{min,max} attributes
 # (/root/reference/STACpopulator/stac_utils.py:166-176).
-_GEO_META = re.compile(
-    r'(?i)<meta\s+name="geo\.position"\s+content="([^";]*);([^"]*)"'
+_GEO_META = r'(?i)<meta\s+name="geo\.position"\s+content="(?P<glat>[^";]*);(?P<glon>[^"]*)"'
+_GEO_BOX_META = (
+    r'(?i)<meta\s+name="geo\.box"\s+content="'
+    r'(?P<blat>[^";]*);(?P<blon>[^";]*);(?P<blat2>[^";]*);(?P<blon2>[^"]*)"'
 )
-_GEO_BOX_META = re.compile(
-    r'(?i)<meta\s+name="geo\.box"\s+content="([^";]*);([^";]*);([^";]*);([^"]*)"'
-)
-_DATE_META = re.compile(r'(?i)<meta\s+name="date"\s+content="([^"]*)"')
-_TITLE = re.compile(r"(?is)<title[^>]*>(.*?)</title>")
+_DATE_META = r'(?i)<meta\s+name="date"\s+content="(?P<mdate>[^"]*)"'
+_TITLE = r"(?is)<title[^>]*>(?P<title>.*?)</title>"
+
+
+def _to_arrow(html: pd.Series) -> pa.Array:
+    return pa.Array.from_pandas(html.fillna("").astype(str))
+
+
+def _extract_text_arrow(arr: pa.Array) -> pa.Array:
+    s = pc.replace_substring_regex(arr, pattern=_DROP_CONTENT, replacement="")
+    s = pc.replace_substring_regex(s, pattern=_COMMENTS, replacement="")
+    s = pc.replace_substring_regex(s, pattern=_BLOCK_TAGS, replacement="\n")
+    s = pc.replace_substring_regex(s, pattern=_ANY_TAG, replacement=" ")
+    for ent, ch in _ENTITIES:
+        s = pc.replace_substring(s, pattern=ent, replacement=ch)
+    s = pc.replace_substring_regex(s, pattern=r"[ \t\r\f\v]+", replacement=" ")
+    s = pc.replace_substring_regex(s, pattern=r" ?\n ?", replacement="\n")
+    s = pc.replace_substring_regex(s, pattern=r"\n\s*\n+", replacement="\n")
+    return pc.utf8_trim_whitespace(s)
 
 
 def extract_text(html: pd.Series) -> pd.Series:
@@ -59,17 +74,12 @@ def extract_text(html: pd.Series) -> pd.Series:
     newlines → strip remaining tags → decode the 6 common entities →
     collapse whitespace → strip.
     """
-    s = html.fillna("")
-    s = s.str.replace(_DROP_CONTENT, "", regex=True)
-    s = s.str.replace(_COMMENTS, "", regex=True)
-    s = s.str.replace(_BLOCK_TAGS, "\n", regex=True)
-    s = s.str.replace(_ANY_TAG, " ", regex=True)
-    for ent, ch in _ENTITIES.items():
-        s = s.str.replace(ent, ch, regex=False)
-    s = s.str.replace(_WS_RUN, " ", regex=True)
-    s = s.str.replace(re.compile(r" ?\n ?"), "\n", regex=True)
-    s = s.str.replace(_NL_RUN, "\n", regex=True)
-    return s.str.strip()
+    out = _extract_text_arrow(_to_arrow(html)).to_pandas()
+    return pd.Series(out.values, index=html.index)
+
+
+def _field(struct_arr: pa.Array, name: str) -> pd.Series:
+    return pc.struct_field(struct_arr, name).to_pandas()
 
 
 def extract_page_fields(html: pd.Series) -> pd.DataFrame:
@@ -83,26 +93,31 @@ def extract_page_fields(html: pd.Series) -> pd.DataFrame:
     stac_utils.py:183-186). Pages with neither yield NaN (null-geometry
     path, /root/reference/STACpopulator/collection_update.py:45-48).
     """
-    s = html.fillna("")
-    pos = s.str.extract(_GEO_META)
-    box = s.str.extract(_GEO_BOX_META)
-    lat = pd.to_numeric(pos[0], errors="coerce")
-    lon = pd.to_numeric(pos[1], errors="coerce")
-    blat = pd.to_numeric(box[0], errors="coerce")
-    blon = pd.to_numeric(box[1], errors="coerce")
-    blat2 = pd.to_numeric(box[2], errors="coerce")
-    blon2 = pd.to_numeric(box[3], errors="coerce")
+    arr = _to_arrow(html)
+    pos = pc.extract_regex(arr, pattern=_GEO_META)
+    box = pc.extract_regex(arr, pattern=_GEO_BOX_META)
+    date = pc.extract_regex(arr, pattern=_DATE_META)
+    title = pc.extract_regex(arr, pattern=_TITLE)
+
+    lat = pd.to_numeric(_field(pos, "glat"), errors="coerce")
+    lon = pd.to_numeric(_field(pos, "glon"), errors="coerce")
+    blat = pd.to_numeric(_field(box, "blat"), errors="coerce")
+    blon = pd.to_numeric(_field(box, "blon"), errors="coerce")
+    blat2 = pd.to_numeric(_field(box, "blat2"), errors="coerce")
+    blon2 = pd.to_numeric(_field(box, "blon2"), errors="coerce")
     lat = lat.where(lat.notna(), blat)
     lon = lon.where(lon.notna(), blon)
+
     out = pd.DataFrame(
         {
-            "lat": lat.astype(np.float64),
-            "lon": lon.astype(np.float64),
-            "lat_max": blat2.astype(np.float64),
-            "lon_max": blon2.astype(np.float64),
-            "meta_date": s.str.extract(_DATE_META)[0],
-            "title": s.str.extract(_TITLE)[0].str.strip(),
-            "text": extract_text(s),
-        }
+            "lat": lat.astype(np.float64).values,
+            "lon": lon.astype(np.float64).values,
+            "lat_max": blat2.astype(np.float64).values,
+            "lon_max": blon2.astype(np.float64).values,
+            "meta_date": _field(date, "mdate").values,
+            "title": _field(title, "title").str.strip().values,
+            "text": _extract_text_arrow(arr).to_pandas().values,
+        },
+        index=html.index,
     )
     return out

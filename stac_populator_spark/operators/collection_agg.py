@@ -130,6 +130,27 @@ def collection_summaries(
     )
 
 
+def update_collections(
+    items: DataFrame,
+    mode: str = "all",
+    collection_col: str = "collection_id",
+    props_col: str = "props",
+    exclude_summaries: tuple = (),
+) -> dict:
+    """A4 dispatcher (collection_update.py:142-167): mode ∈ {extents,
+    summaries, all, none} → dict of the requested aggregate DataFrames."""
+    if mode not in ("extents", "summaries", "all", "none"):
+        raise ValueError(f"invalid mode {mode!r}")
+    out: dict = {}
+    if mode in ("extents", "all"):
+        out["extents"] = collection_extent(items, collection_col)
+    if mode in ("summaries", "all") and props_col in items.columns:
+        out["summaries"] = collection_summaries(
+            items, collection_col, props_col, exclude_summaries
+        )
+    return out
+
+
 def merge_with_initial(initial: dict, agg_row) -> dict:
     """Fold the groupBy result into an existing collection dict using the
     reference's exact update rules (collection_update.py:43-85):

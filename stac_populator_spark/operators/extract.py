@@ -1,11 +1,12 @@
-"""pages → STAC-item-record extraction stage (vectorized, shuffle-free).
+"""pages → STAC-item-record extraction stage (Arrow-native, shuffle-free).
 
 Replaces the reference's per-item ``extract_metadata`` + ``create_stac_item``
 loop (/root/reference/STACpopulator/input.py:152-170, populators.py:257-305)
-with one Arrow-batched ``mapInPandas`` pass: every row of the pages table
-becomes one item record with id, bbox, geometry, datetime and text — no
-shuffle, no network, fully partition-parallel (the stage scales linearly
-with executors by construction).
+with one ``mapInArrow`` pass: RecordBatches flow JVM → Arrow → RE2 kernels
+→ Arrow → JVM with **no pandas and no per-row Python objects** for the
+heavy columns (html/text never materialize as Python strings). The only
+Python loop builds the small geometry JSON strings for ~80% of rows
+(~2µs/row); everything else is C++.
 
 Semantics preserved from the reference:
 - id derivation: url → '__'-joined path (extensions/thredds.py:249-262)
@@ -16,15 +17,20 @@ Semantics preserved from the reference:
 
 from __future__ import annotations
 
-import json
-
 import numpy as np
-import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-from ..functions.geometry import item_id_from_url, to_geometry
-from ..functions.textextract import extract_page_fields
+from ..functions import arrowpin  # noqa: F401  (pins Arrow pools per worker)
+from ..functions.textextract import (
+    _DATE_META,
+    _GEO_BOX_META,
+    _GEO_META,
+    _TITLE,
+    _extract_text_arrow,
+)
 
 ITEM_SCHEMA = T.StructType(
     [
@@ -43,22 +49,45 @@ ITEM_SCHEMA = T.StructType(
         T.StructField("lat_max", T.DoubleType()),
         T.StructField("crosses_am", T.BooleanType()),
         T.StructField("bbox", T.ArrayType(T.DoubleType())),
-        T.StructField("geometry", T.StringType()),  # GeoJSON string (Polygon|MultiPolygon)
+        T.StructField("geometry", T.StringType()),  # GeoJSON (Polygon|MultiPolygon)
         T.StructField("n_chars", T.IntegerType()),
     ]
 )
 
 
-def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    html = pdf["html"].map(
-        lambda b: b.decode("utf-8", errors="replace") if isinstance(b, (bytes, bytearray)) else (b or "")
-    )
-    f = extract_page_fields(html)
+def _f64(arr: pa.Array) -> np.ndarray:
+    """String arrow array (nullable) → float64 numpy with NaN for nulls /
+    malformed values."""
+    try:
+        return pc.cast(arr, pa.float64()).to_numpy(zero_copy_only=False)
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+        import pandas as pd
 
-    lat_min = f["lat"].to_numpy()
-    lon_min = f["lon"].to_numpy()
-    lat_max = f["lat_max"].to_numpy()
-    lon_max = f["lon_max"].to_numpy()
+        return pd.to_numeric(arr.to_pandas(), errors="coerce").to_numpy(dtype=np.float64)
+
+
+def _extract_batch_arrow(batch: pa.RecordBatch) -> pa.RecordBatch:
+    n = batch.num_rows
+    url = batch.column("url")
+    if not pa.types.is_string(url.type):
+        url = pc.cast(url, pa.string())
+    html = batch.column("html")
+    html = html.view(pa.string()) if pa.types.is_binary(html.type) else pc.cast(html, pa.string())
+
+    text = _extract_text_arrow(html)
+    pos = pc.extract_regex(html, pattern=_GEO_META)
+    box = pc.extract_regex(html, pattern=_GEO_BOX_META)
+    date = pc.extract_regex(html, pattern=_DATE_META)
+    title = pc.extract_regex(html, pattern=_TITLE)
+
+    plat = _f64(pc.struct_field(pos, "glat"))
+    plon = _f64(pc.struct_field(pos, "glon"))
+    blat = _f64(pc.struct_field(box, "blat"))
+    blon = _f64(pc.struct_field(box, "blon"))
+    lat_max = _f64(pc.struct_field(box, "blat2"))
+    lon_max = _f64(pc.struct_field(box, "blon2"))
+    lat_min = np.where(np.isnan(plat), blat, plat)
+    lon_min = np.where(np.isnan(plon), blon, plon)
     # point pages: degenerate bbox (min == max), like a 0-resolution dataset
     lat_max = np.where(np.isnan(lat_max), lat_min, lat_max)
     lon_max = np.where(np.isnan(lon_max), lon_min, lon_max)
@@ -71,43 +100,66 @@ def _extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     rep_lon = np.where(rep_lon >= 180.0, rep_lon - 360.0, rep_lon)
     rep_lat = (lat_min + lat_max) / 2.0
 
-    bboxes, geoms = [], []
-    for k in range(len(pdf)):
-        if not has_geom[k]:
-            bboxes.append(None)
-            geoms.append(None)
-            continue
-        bboxes.append([float(lon_min[k]), float(lat_min[k]), float(lon_max[k]), float(lat_max[k])])
-        geoms.append(
-            json.dumps(
-                to_geometry(float(lon_min[k]), float(lat_min[k]), float(lon_max[k]), float(lat_max[k])),
-                separators=(",", ":"),
-            )
-        )
+    # bbox ARRAY<double> without per-row python: flat values + fixed offsets
+    vals = np.column_stack([lon_min, lat_min, lon_max, lat_max]).ravel()
+    vals = np.nan_to_num(vals, nan=0.0)
+    offsets = np.arange(0, 4 * (n + 1), 4, dtype=np.int32)
+    bbox_all = pa.ListArray.from_arrays(pa.array(offsets), pa.array(vals, pa.float64()))
+    has_arr = pa.array(has_geom)
+    bbox = pc.if_else(has_arr, bbox_all, pa.nulls(n, bbox_all.type))
 
-    urls = pdf["url"].astype(str)
-    out = pd.DataFrame(
-        {
-            "id": urls.map(item_id_from_url),
-            "url": urls,
-            "warc_ts": pdf["warc_ts"].values,
-            "lang": pdf["lang"].values,
-            "title": f["title"].values,
-            "text": f["text"].values,
-            "datetime": pd.to_datetime(f["meta_date"], errors="coerce", format="ISO8601"),
-            "lon": np.where(has_geom, rep_lon, np.nan),
-            "lat": np.where(has_geom, rep_lat, np.nan),
-            "lon_min": np.where(has_geom, lon_min, np.nan),
-            "lat_min": np.where(has_geom, lat_min, np.nan),
-            "lon_max": np.where(has_geom, lon_max, np.nan),
-            "lat_max": np.where(has_geom, lat_max, np.nan),
-            "crosses_am": pd.array(np.where(has_geom, crosses, False), dtype="boolean"),
-            "bbox": bboxes,
-            "geometry": geoms,
-            "n_chars": f["text"].str.len().astype("int32"),
-        }
-    )
-    return out
+    # geometry JSON: python f-strings only for geo rows — byte-equal to
+    # json.dumps(to_geometry(...), separators=(",", ":")); parity pinned by
+    # tests/test_extract.py
+    geoms: list = [None] * n
+    for k in np.nonzero(has_geom)[0]:
+        a, b = lon_min[k], lat_min[k]
+        c, d = lon_max[k], lat_max[k]
+        if a > c:  # antimeridian → MultiPolygon split (stac_utils.py:230-251)
+            geoms[k] = (
+                '{"type":"MultiPolygon","coordinates":'
+                f"[[[[{a!r},{b!r}],[{a!r},{d!r}],[180.0,{d!r}],[180.0,{b!r}],[{a!r},{b!r}]]],"
+                f"[[[-180.0,{b!r}],[-180.0,{d!r}],[{c!r},{d!r}],[{c!r},{b!r}],[-180.0,{b!r}]]]]}}"
+            )
+        else:
+            geoms[k] = (
+                '{"type":"Polygon","coordinates":'
+                f"[[[{a!r},{b!r}],[{a!r},{d!r}],[{c!r},{d!r}],[{c!r},{b!r}],[{a!r},{b!r}]]]}}"
+            )
+
+    item_id = pc.replace_substring_regex(url, pattern=r"^https?://", replacement="")
+    item_id = pc.replace_substring(item_id, pattern="/", replacement="__")
+
+    dt = pc.strptime(pc.struct_field(date, "mdate"), format="%Y-%m-%dT%H:%M:%S",
+                     unit="us", error_is_null=True)
+
+    no_geom = ~has_geom
+
+    def f(x):
+        # mask → real nulls (NaN alone is not null in Arrow)
+        return pa.array(np.where(has_geom, x, np.nan), pa.float64(), mask=no_geom)
+
+    arrays = [
+        item_id,
+        url,
+        batch.column("warc_ts"),
+        batch.column("lang"),
+        pc.utf8_trim_whitespace(pc.struct_field(title, "title")),
+        text,
+        dt,
+        f(rep_lon),
+        f(rep_lat),
+        f(lon_min),
+        f(lat_min),
+        f(lon_max),
+        f(lat_max),
+        pa.array(np.where(has_geom, crosses, False)),
+        bbox,
+        pa.array(geoms, pa.string()),
+        pc.cast(pc.utf8_length(text), pa.int32()),
+    ]
+    names = [fld.name for fld in ITEM_SCHEMA.fields]
+    return pa.RecordBatch.from_arrays(arrays, names=names)
 
 
 def extract_items(pages: DataFrame) -> DataFrame:
@@ -115,8 +167,19 @@ def extract_items(pages: DataFrame) -> DataFrame:
     transformation — preserves input partitioning, no shuffle."""
 
     def run(batches):
-        for pdf in batches:
-            if len(pdf):
-                yield _extract_batch(pdf)
+        for batch in batches:
+            if batch.num_rows:
+                yield _extract_batch_arrow(batch)
 
-    return pages.mapInPandas(run, schema=ITEM_SCHEMA)
+    # explicit pruning: Catalyst cannot prune through mapInArrow, and the
+    # stored `text` column (recomputed from html inside the kernel) would
+    # otherwise cross the JVM↔Python bridge for nothing (~40% of traffic)
+    needed = pages.select("url", "warc_ts", "html", "lang")
+    return needed.mapInArrow(run, schema=ITEM_SCHEMA)
+
+
+def _extract_batch(pdf):
+    """pandas-facing wrapper over the Arrow kernel (used by unit tests and
+    ad-hoc callers)."""
+    batch = pa.RecordBatch.from_pandas(pdf, preserve_index=False)
+    return _extract_batch_arrow(batch).to_pandas()

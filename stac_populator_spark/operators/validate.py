@@ -1,0 +1,67 @@
+"""Validation + dead-letter routing (Spark-native analogue of the
+reference's per-item failure isolation, /root/reference/STACpopulator/
+populators.py:268-274 and error-item dumps populators.py:288-300).
+
+Instead of a try/except per item, validity is a column predicate; invalid
+rows are routed to an errors DataFrame with a ``failure_reason`` column
+(the dead-letter table, K4 in SURVEY.md §2.2), valid rows continue. One
+pass, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+def _rules(items: DataFrame, require_datetime: bool):
+    """Ordered (name, predicate) validity rules. WGS84 ranges mirror
+    check_wgs84_compliance (collection_update.py:18-40)."""
+    rules = [
+        ("missing_id", F.col("id").isNull() | (F.length("id") == 0)),
+        (
+            "lon_out_of_range",
+            F.col("lon_min").isNotNull()
+            & ((F.col("lon_min") < -180) | (F.col("lon_min") > 180)
+               | (F.col("lon_max") < -180) | (F.col("lon_max") > 180)),
+        ),
+        (
+            "lat_out_of_range",
+            F.col("lat_min").isNotNull()
+            & ((F.col("lat_min") < -90) | (F.col("lat_min") > 90)
+               | (F.col("lat_max") < -90) | (F.col("lat_max") > 90)),
+        ),
+    ]
+    if require_datetime:
+        has_start = (
+            F.col("start_datetime").isNotNull()
+            if "start_datetime" in items.columns
+            else F.lit(False)
+        )
+        rules.append(("datetime_missing", F.col("datetime").isNull() & ~has_start))
+    return rules
+
+
+def split_valid_invalid(items: DataFrame, require_datetime: bool = False):
+    """Returns (valid, dead_letter). dead_letter carries failure_reason —
+    the first failing rule, mirroring the reference's single logged error
+    per failed item."""
+    reason = F.lit(None).cast("string")
+    for name, rule in reversed(_rules(items, require_datetime)):
+        reason = F.when(rule, F.lit(name)).otherwise(reason)
+    with_reason = items.withColumn("failure_reason", reason)
+    valid = with_reason.filter(F.col("failure_reason").isNull()).drop("failure_reason")
+    dead = with_reason.filter(F.col("failure_reason").isNotNull())
+    return valid, dead
+
+
+def unknown_collection_dead_letter(items: DataFrame, collections: DataFrame,
+                                   collection_col: str = "collection_id"):
+    """Items referencing a collection id that does not exist → dead letter
+    (FIXTURES.md §6; reference analogue: failed POST to /collections/{cid}/
+    items). Broadcast anti-join — the collections dim is small."""
+    known = collections.select(collection_col).distinct()
+    valid = items.join(F.broadcast(known), collection_col, "left_semi")
+    dead = items.join(F.broadcast(known), collection_col, "left_anti").withColumn(
+        "failure_reason", F.lit("unknown_collection")
+    )
+    return valid, dead

@@ -144,6 +144,26 @@ def test_cosine_topk_vs_numpy(spark, vectors):
         assert [r["vec_id"] for r in got_q] == order
 
 
+def test_ivf_topk_recall(spark, vectors):
+    from stac_populator_spark.operators.similarity import ivf_topk
+
+    q = vectors.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = cosine_topk(vectors, q, k=3).collect()
+    # full probe (n_probe = k_centroids) must equal brute force exactly
+    full = ivf_topk(vectors, q, k=3, n_probe=8, dim=16, k_centroids=8).collect()
+    key = lambda rows: sorted((r["query_id"], r["rank"], r["vec_id"]) for r in rows)
+    assert key(full) == key(exact)
+    # partial probe: rank-1 self-hit always survives (query is in corpus
+    # and lands in its own cluster), recall@3 ≥ 2/3 on this corpus
+    part = ivf_topk(vectors, q, k=3, n_probe=3, dim=16, k_centroids=8).collect()
+    got = {(r["query_id"], r["vec_id"]) for r in part}
+    want = {(r["query_id"], r["vec_id"]) for r in exact}
+    assert all((qid, qid) in got for qid in (0, 1, 2))
+    # random gaussian corpus is the worst case for IVF (near-uniform
+    # cosines) — partial probe still must find most true neighbors
+    assert len(got & want) >= 5
+
+
 def test_cosine_near_duplicates(spark, vectors):
     pairs = {(r["a"], r["b"]): r["cos"] for r in cosine_near_duplicates(vectors, threshold=0.99, dim=16).collect()}
     assert (3, 7) in pairs and pairs[(3, 7)] > 0.999

@@ -1,0 +1,61 @@
+"""Extract-stage unit tests: geometry fast-path parity with the reference
+semantics renderer, and batch extraction on crafted HTML."""
+
+import json
+
+import pandas as pd
+
+from stac_populator_spark.functions.geometry import to_geometry
+from stac_populator_spark.operators.extract import _extract_batch
+
+
+def _page(html: str) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "url": ["https://x.example/a/1.html"],
+            "warc_ts": [pd.Timestamp("2024-01-01")],
+            "html": [html.encode()],
+            "lang": ["en"],
+            "text": [""],
+        }
+    )
+
+
+def test_geometry_fastpath_matches_to_geometry():
+    cases = [
+        (-73.6, 45.5, -73.6, 45.5),       # degenerate point
+        (-10.25, -20.5, 30.75, 40.125),   # box
+        (170.5, -10.0, -160.25, 10.5),    # antimeridian crossing
+    ]
+    for a, b, c, d in cases:
+        html = f'<meta name="geo.box" content="{b};{a};{d};{c}">'
+        out = _extract_batch(_page(html))
+        expected = json.dumps(to_geometry(a, b, c, d), separators=(",", ":"))
+        assert out["geometry"][0] == expected
+        assert json.loads(out["geometry"][0]) == to_geometry(a, b, c, d)
+
+
+def test_point_page_degenerate_bbox():
+    out = _extract_batch(_page('<meta name="geo.position" content="45.5;-73.6">'))
+    assert list(out["bbox"][0]) == [-73.6, 45.5, -73.6, 45.5]
+    assert out["lon"][0] == -73.6 and out["lat"][0] == 45.5
+    assert not out["crosses_am"][0]
+
+
+def test_no_geo_page():
+    out = _extract_batch(_page("<p>hello</p>"))
+    assert out["bbox"][0] is None and out["geometry"][0] is None
+    assert pd.isna(out["lon"][0])
+
+
+def test_crossing_rep_point_wraps():
+    out = _extract_batch(_page('<meta name="geo.box" content="0;170;10;-170">'))
+    assert out["crosses_am"][0]
+    assert out["lon"][0] == 180.0 or out["lon"][0] == -180.0  # center of [170,-170]
+
+
+def test_id_and_datetime():
+    html = '<meta name="date" content="2020-03-04T05:06:07">'
+    out = _extract_batch(_page(html))
+    assert out["id"][0] == "x.example__a__1.html"
+    assert out["datetime"][0] == pd.Timestamp("2020-03-04T05:06:07")

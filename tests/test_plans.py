@@ -1,0 +1,92 @@
+"""Physical-plan assertions: predicate pushdown reaches the parquet scan,
+column pruning narrows ReadSchema, the PIP join broadcasts (never
+sort-merge), aggregations combine map-side. These pin the scale-critical
+plan properties — a regression here is a 100× cost at 100 TB even if
+results stay correct."""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def pages_path(spark, tmp_path_factory):
+    from stac_populator_spark.datagen import pages_df
+
+    p = str(tmp_path_factory.mktemp("plans") / "pages.parquet")
+    pages_df(spark, 500, partitions=2).write.parquet(p)
+    return p
+
+
+def test_filter_pushdown_and_pruning(spark, pages_path):
+    df = spark.read.parquet(pages_path).filter(F.col("lang") == "en").select("url", "lang")
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+    # ReadSchema must not include the heavy html/text columns
+    rs = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "html" not in rs and "text" not in rs
+
+
+def test_pip_join_is_broadcast(spark, pages_path):
+    from stac_populator_spark.datagen import footprints_pdf
+    from stac_populator_spark.operators.cells import encode_cells
+    from stac_populator_spark.operators.extract import extract_items
+    from stac_populator_spark.operators.spatial_join import footprint_cover_df, pip_join
+
+    pages = spark.read.parquet(pages_path)
+    items = encode_cells(extract_items(pages)).filter(F.col("lon").isNotNull())
+    cover = footprint_cover_df(spark, footprints_pdf())
+    plan = plan_of(pip_join(items, cover))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # and the fact side must not exchange (no shuffle of items; the only
+    # exchange is the broadcast of the tiny cover table)
+    assert " Exchange (" not in plan
+
+
+def test_tile_assign_broadcast_no_shuffle(spark):
+    from stac_populator_spark.datagen import footprints_pdf, tiles_pdf
+    from stac_populator_spark.operators.spatial_join import footprint_cover_df
+    from stac_populator_spark.operators.tiles import assign_tiles_to_footprints
+
+    tiles = spark.createDataFrame(tiles_pdf(z=4))
+    cover = footprint_cover_df(spark, footprints_pdf()).select(
+        "collection_id", "f_lon_min", "f_lat_min", "f_lon_max", "f_lat_max"
+    ).distinct()
+    plan = plan_of(assign_tiles_to_footprints(tiles, cover))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_collection_agg_partial_aggregation(spark, pages_path):
+    from stac_populator_spark.datagen import footprints_pdf
+    from stac_populator_spark.operators.collection_agg import collection_extent
+    from stac_populator_spark.plans.pipeline import build_items
+    from stac_populator_spark.operators.spatial_join import footprint_cover_df
+
+    pages = spark.read.parquet(pages_path)
+    cover = footprint_cover_df(spark, footprints_pdf())
+    plan = plan_of(collection_extent(build_items(pages, cover)))
+    # map-side partial agg then final: two HashAggregate nodes around one
+    # exchange — the only wide dependency in the whole pipeline
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count(" Exchange (") == 1
+
+
+def test_minhash_group_is_partial(spark):
+    import pandas as pd
+
+    from stac_populator_spark.operators.dedup import minhash_signatures
+
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": [1, 2], "text": ["a b c d", "b c d e"]}))
+    plan = plan_of(minhash_signatures(docs))
+    assert plan.count("HashAggregate") >= 2  # partial min() before shuffle

@@ -1,0 +1,111 @@
+"""Structured Streaming ingest (exactly-once, resume) and multimodal
+mapInPandas plumbing."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from stac_populator_spark.datagen import footprints_pdf, pages_pdf
+from stac_populator_spark.operators.multimodal import (
+    decode_image,
+    extract_features,
+    sample_frames,
+)
+from stac_populator_spark.operators.spatial_join import footprint_cover_df
+from stac_populator_spark.streaming.ingest import read_pages_stream, stream_items
+
+
+@pytest.fixture(scope="module")
+def cover(spark):
+    return footprint_cover_df(spark, footprints_pdf())
+
+
+def _write_pages_files(spark, d, batches):
+    os.makedirs(d, exist_ok=True)
+    for i, (start, count) in enumerate(batches):
+        pdf = pages_pdf(start, count)
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(d)
+
+
+def test_stream_matches_batch(spark, tmp_path, cover):
+    src = str(tmp_path / "pages_in")
+    out = str(tmp_path / "items_out")
+    cp = str(tmp_path / "cp")
+    _write_pages_files(spark, src, [(0, 300), (300, 300)])
+
+    q = stream_items(read_pages_stream(spark, src), cover, out, cp)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    from stac_populator_spark.plans.pipeline import build_items
+
+    batch = build_items(spark.read.parquet(src), cover)
+    key = lambda df: sorted(
+        (r["id"], r["collection_id"], r["cell_s2"]) for r in df.select("id", "collection_id", "cell_s2").collect()
+    )
+    assert key(got) == key(batch)
+
+
+def test_stream_resume_no_duplicates(spark, tmp_path, cover):
+    src = str(tmp_path / "pages_in2")
+    out = str(tmp_path / "items_out2")
+    cp = str(tmp_path / "cp2")
+    _write_pages_files(spark, src, [(0, 300)])
+    stream_items(read_pages_stream(spark, src), cover, out, cp).awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+
+    # new files arrive; resume from the same checkpoint → only new rows added
+    _write_pages_files(spark, src, [(300, 300)])
+    stream_items(read_pages_stream(spark, src), cover, out, cp).awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() > n1
+    assert got.groupBy("id", "collection_id").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_decode_stub_contract():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"abc")
+    a = decode_image(b"abc", fake=True)
+    b = decode_image(b"abc", fake=True)
+    assert (a == b).all() and len(a) == 64
+
+
+def test_extract_features(spark):
+    pdf = pd.DataFrame(
+        {
+            "url": ["u1", "u2", "u3"],
+            "kind": ["image", "audio", "image"],
+            "payload": [b"\x01\x02\x03\x04" * 8, b"\x10\x20" * 64, b"\xff" * 16],
+            "meta": [(4, 8, None, None), (None, None, 16000, None), (4, 4, None, None)],
+        }
+    )
+    from stac_populator_spark.operators.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
+    out = extract_features(media, fake=True).collect()
+    by_url = {r["url"]: r for r in out}
+    assert len(by_url["u1"]["feature"]) == 16
+    assert by_url["u3"]["feature"] == [pytest.approx(1.0)] * 16  # all \xff
+    assert by_url["u2"]["n_bytes"] == 128
+    # determinism across partitionings
+    out2 = extract_features(media.repartition(3), fake=True).collect()
+    assert {r["url"]: r["feature"] for r in out2} == {r["url"]: r["feature"] for r in out}
+
+
+def test_sample_frames(spark):
+    from stac_populator_spark.operators.multimodal import MEDIA_SCHEMA
+
+    pdf = pd.DataFrame(
+        {
+            "url": ["v1"],
+            "kind": ["video"],
+            "payload": [b"x"],
+            "meta": [(None, None, None, 35)],
+        }
+    )
+    media = spark.createDataFrame(pdf, schema=MEDIA_SCHEMA)
+    frames = [r["frame_idx"] for r in sample_frames(media, every_n=10).collect()]
+    assert frames == [0, 10, 20, 30]
