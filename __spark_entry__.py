@@ -375,7 +375,125 @@ def _ann_cosine(spark, sf_dir):
     return cosine_topk(emb, queries, k=5)
 
 
+def _top_terms(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    terms = d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
+    return (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
+def _sessionize(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    # exact integer microseconds (a seconds-truncating cast would disagree
+    # with the oracle on gaps like 1800.5s)
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))  # parquet ts is NTZ
+    gap = micros - F.lag(micros).over(w)
+    marked = e.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800 * 1000000), 1).otherwise(0))
+    sess = marked.withColumn(
+        "session_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(_dec("value")).cast("double"), 2).alias("session_value"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.round(F.sum("session_value"), 2).alias("total_value"),
+        )
+    )
+
+
+def _running_total(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = o.withColumn("running_spend", F.round(F.sum(_dec("o_totalprice")).over(w).cast("double"), 2))
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        "running_spend",
+    )
+
+
+def _lineitem_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(_dec("l_quantity")).cast("double"), 2).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_items",
+            "sum_qty",
+        )
+    )
+
+
+def _dead_letter_split(spark, sf_dir):
+    from stac_populator_spark.operators.validate import split_valid_invalid
+
+    d = _t(spark, sf_dir, "documents")
+    # deterministically corrupt some rows to exercise each rule
+    items = d.select(
+        F.when(F.col("doc_id") % 17 == 0, F.lit("")).otherwise(F.col("doc_id").cast("string")).alias("id"),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(-200.0)).otherwise(F.lit(0.0)).alias("lon_min"),
+        F.when(F.col("doc_id") % 19 == 0, F.lit(95.0)).otherwise(F.lit(0.0)).alias("lat_min"),
+        F.lit(1.0).alias("lon_max"),
+        F.lit(1.0).alias("lat_max"),
+        F.lit(None).cast("timestamp").alias("datetime"),
+        F.col("doc_id"),
+    )
+    _, dead = split_valid_invalid(items)
+    return dead.select("doc_id", "failure_reason")
+
+
+def _events_pivot(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    return e.groupBy(day).agg(
+        *[
+            F.sum((F.col("event_type") == t).cast("long")).alias(f"n_{t}")
+            for t in ("click", "view", "purchase", "signup", "error")
+        ]
+    )
+
+
 # --- rows-only (non-SQL-expressible) ---
+
+def _ivf_cosine(spark, sf_dir):
+    from stac_populator_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=5, n_probe=6, dim=64, k_centroids=16)
+
+
+def _doc_fingerprints(spark, sf_dir):
+    from stac_populator_spark.operators.textstats import with_fingerprint, with_lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return with_lang_id(with_fingerprint(d)).select("doc_id", "fingerprint", "lang", "lang_pred")
+
 
 def _minhash_neardup(spark, sf_dir):
     from stac_populator_spark.operators.dedup import minhash_near_duplicates
@@ -430,6 +548,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "summaries_typed": _summaries_typed,
         "lang_skew_counts": _lang_skew_counts,
         "ann_cosine": _ann_cosine,
+        "top_terms": _top_terms,
+        "sessionize": _sessionize,
+        "running_total": _running_total,
+        "lineitem_rollup": _lineitem_rollup,
+        "dead_letter_split": _dead_letter_split,
+        "events_pivot": _events_pivot,
+        "ivf_cosine": _ivf_cosine,
+        "doc_fingerprints": _doc_fingerprints,
         "minhash_neardup": _minhash_neardup,
         "simhash_pairs": _simhash_pairs,
         "stac_flagship": _stac_flagship,
@@ -595,6 +721,67 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d GROUP BY lang
         """,
         "lang_skew_counts": "SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang",
+        "top_terms": r"""
+            SELECT term, COUNT(*) AS cnt FROM (
+              SELECT UNNEST(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS term FROM documents
+            ) GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 20
+        """,
+        "sessionize": """
+            WITH marked AS (
+              SELECT user_id, event_id, ts, value,
+                CASE WHEN LAG(EPOCH_US(ts)) OVER w IS NULL
+                       OR EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER w > 1800000000
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+            ), sess AS (
+              SELECT *, SUM(new_sess) OVER (
+                PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM marked
+            ), per_sess AS (
+              SELECT user_id, session_id, COUNT(*) AS n_events,
+                     ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS session_value
+              FROM sess GROUP BY user_id, session_id
+            )
+            SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_session_events,
+                   ROUND(SUM(session_value), 2) AS total_value
+            FROM per_sess GROUP BY user_id
+        """,
+        "running_total": """
+            SELECT o_custkey, o_orderkey,
+                   STRFTIME(o_orderdate, '%Y-%m-%d') AS order_day,
+                   ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+                     AS running_spend
+            FROM orders
+        """,
+        "lineitem_rollup": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS linestatus,
+                   COUNT(*) AS n_items,
+                   ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """,
+        "dead_letter_split": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 17 = 0 THEN 'missing_id'
+                        WHEN doc_id % 13 = 0 THEN 'lon_out_of_range'
+                        WHEN doc_id % 19 = 0 THEN 'lat_out_of_range'
+                   END AS failure_reason
+            FROM documents
+            WHERE doc_id % 17 = 0 OR doc_id % 13 = 0 OR doc_id % 19 = 0
+        """,
+        "events_pivot": """
+            SELECT STRFTIME(ts, '%Y-%m-%d') AS day,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+            FROM events GROUP BY 1
+        """,
         "ann_cosine": """
             WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id % 100 = 0),

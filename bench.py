@@ -49,6 +49,10 @@ def main():
         "dedup_exact",
         "token_stats",
         "ann_cosine",
+        "ivf_cosine",
+        "top_terms",
+        "sessionize",
+        "lineitem_rollup",
         "minhash_neardup",
         "simhash_pairs",
         "stac_flagship",
