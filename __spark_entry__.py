@@ -495,6 +495,39 @@ def _doc_fingerprints(spark, sf_dir):
     return with_lang_id(with_fingerprint(d)).select("doc_id", "fingerprint", "lang", "lang_pred")
 
 
+def _stac_collections(spark, sf_dir):
+    from stac_populator_spark.operators.collection_agg import (
+        collection_extent,
+        collection_summaries,
+    )
+    from stac_populator_spark.operators.stac_collection import stac_collection_json
+
+    matched = _pip_points(spark, sf_dir)
+    pts = _doc_points(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    items = (
+        matched.join(pts, "doc_id")
+        .join(docs, "doc_id")
+        .withColumn("lon_min", F.col("lon"))
+        .withColumn("lat_min", F.col("lat"))
+        .withColumn("lon_max", F.col("lon"))
+        .withColumn("lat_max", F.col("lat"))
+        .withColumn(
+            "datetime",
+            F.when(
+                F.col("doc_id") % 11 != 0,
+                F.expr("timestampadd(SECOND, doc_id*977, timestamp'2020-01-01 00:00:00')"),
+            ),
+        )
+        .withColumn("props", F.create_map(F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")))
+    )
+    ext = collection_extent(items)
+    summ = collection_summaries(items)
+    return stac_collection_json(ext, None, summ).select(
+        "collection_id", "item_count", "stac_collection_json"
+    )
+
+
 def _minhash_neardup(spark, sf_dir):
     from stac_populator_spark.operators.dedup import minhash_near_duplicates
 
@@ -556,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": _events_pivot,
         "ivf_cosine": _ivf_cosine,
         "doc_fingerprints": _doc_fingerprints,
+        "stac_collections": _stac_collections,
         "minhash_neardup": _minhash_neardup,
         "simhash_pairs": _simhash_pairs,
         "stac_flagship": _stac_flagship,

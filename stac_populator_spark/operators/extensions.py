@@ -1,0 +1,140 @@
+"""Extension-property derivation helpers — the Spark reading of the
+reference's pydantic extension stack (prefix aliasing, field validators,
+asset/service projections).
+
+- prefix aliasing: property keys become ``<prefix>:<field>`` except names
+  containing 'datetime' (/root/reference/STACpopulator/extensions/
+  base.py:100-105, cmip6.py:70-72)
+- validators (cmip6.py:112-131): ``only_item`` (1-element list → scalar),
+  ``split`` (space-split string → array), ``validate_version``
+  (``^v\\d+$`` check)
+- ``cf:parameter`` projection: variables → [{name, unit}], unnamed
+  skipped (extensions/cf.py:52-65)
+- asset service-type filter (cmip6.py:287-307): keep assets whose key is
+  in a service-type set
+- media-type/roles lookup for assets (thredds.py:135-172, tables
+  thredds.py:20-41)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# media-type / roles tables mirroring extensions/thredds.py:20-41
+SERVICE_MEDIA_TYPES = {
+    "httpserver": "application/x-netcdf",
+    "opendap": "text/html",
+    "ncml": "application/xml",
+    "wcs": "application/xml",
+    "wms": "application/xml",
+    "netcdfsubsetgrid": "text/html",
+    "netcdfsubsetpoint": "text/html",
+}
+SERVICE_ROLES = {
+    "httpserver": ["data"],
+    "opendap": ["data"],
+    "ncml": ["metadata"],
+    "wcs": ["data"],
+    "wms": ["visual"],
+    "netcdfsubsetgrid": ["data"],
+    "netcdfsubsetpoint": ["data"],
+}
+
+
+def prefix_properties(df: DataFrame, prefix: str, fields: list[str]) -> DataFrame:
+    """Rename each field to ``<prefix>:<field>`` unless the name contains
+    'datetime' (base.py:100-105)."""
+    out = df
+    for f in fields:
+        if "datetime" not in f:
+            out = out.withColumnRenamed(f, f"{prefix}:{f}")
+    return out
+
+
+def only_item(col: F.Column) -> F.Column:
+    """1-element array → its scalar; longer arrays left intact is an error
+    in the reference (cmip6.py:112-118) — here: take element 1 only when
+    size==1, else null (invalid routed by validate stage)."""
+    return F.when(F.size(col) == 1, F.element_at(col, 1))
+
+
+def split_field(col: F.Column) -> F.Column:
+    """Space-split string → array (cmip6.py:120-124, realm/source_type)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def valid_version(col: F.Column) -> F.Column:
+    """``^v\\d+$`` validity predicate (cmip6.py:126-131)."""
+    return col.rlike(r"^v[0-9]+$")
+
+
+def cf_parameters(variables_col: F.Column) -> F.Column:
+    """array<struct<standard_name,units,...>> → array<struct<name,unit>>,
+    entries without a standard_name dropped (cf.py:52-65)."""
+    named = F.filter(
+        variables_col,
+        lambda v: v["standard_name"].isNotNull() & (F.length(v["standard_name"]) > 0),
+    )
+    return F.transform(
+        named,
+        lambda v: F.struct(v["standard_name"].alias("name"), v["units"].alias("unit")),
+    )
+
+
+def filter_assets_by_service(assets_col: F.Column, service_types: list[str]) -> F.Column:
+    """MAP<service, asset> → only entries whose key is in service_types,
+    case-insensitive with '_service' suffix strip (ServiceType.from_value,
+    stac_utils.py:347-358 + get_assets filter cmip6.py:287-307)."""
+    def _norm(s: str) -> str:
+        s = s.lower()
+        return s[: -len("_service")] if s.endswith("_service") else s
+
+    wanted = F.array(*[F.lit(_norm(s)) for s in service_types])
+    norm = lambda k: F.regexp_replace(F.lower(k), "_service$", "")
+    return F.map_filter(assets_col, lambda k, v: F.array_contains(wanted, norm(k)))
+
+
+def assets_from_access_urls(access_urls_col: F.Column) -> F.Column:
+    """MAP<service, href> → MAP<service, struct<href, type, roles>> using
+    the broadcast media/roles tables (thredds.py:135-172). Unknown services
+    get null type and ['data'] (the reference's default role)."""
+    def media(k):
+        expr = F.lit(None).cast("string")
+        for svc, mt in SERVICE_MEDIA_TYPES.items():
+            expr = F.when(F.lower(k) == svc, F.lit(mt)).otherwise(expr)
+        return expr
+
+    def roles(k):
+        expr = F.array(F.lit("data"))
+        for svc, rl in SERVICE_ROLES.items():
+            expr = F.when(F.lower(k) == svc, F.array(*[F.lit(r) for r in rl])).otherwise(expr)
+        return expr
+
+    return F.transform_values(
+        access_urls_col,
+        lambda k, v: F.struct(v.alias("href"), media(k).alias("type"), roles(k).alias("roles")),
+    )
+
+
+def wxs_get_capabilities(assets_col: F.Column) -> F.Column:
+    """Append ?request=GetCapabilities to W[CM]S hrefs
+    (THREDDSLoader._add_WxS_queries, input.py:146-150)."""
+    return F.transform_values(
+        assets_col,
+        lambda k, v: F.when(
+            F.upper(k).rlike("^W[CM]S"),
+            F.concat(v, F.lit("?request=GetCapabilities")),
+        ).otherwise(v),
+    )
+
+
+def magpie_source_link(url_col: F.Column) -> F.Column:
+    """struct<rel,href,title> 'source' link; title = path after
+    'fileServer/' (stac_utils.py:299-312)."""
+    title = F.regexp_extract(url_col, r"fileServer/(.*)$", 1)
+    return F.struct(
+        F.lit("source").alias("rel"),
+        url_col.alias("href"),
+        F.when(F.length(title) > 0, title).alias("title"),
+    )

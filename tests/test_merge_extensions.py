@@ -1,0 +1,131 @@
+"""MERGE-upsert semantics, extension-property helpers, STAC Collection
+JSON assembly."""
+
+import json
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from stac_populator_spark.operators.extensions import (
+    assets_from_access_urls,
+    cf_parameters,
+    filter_assets_by_service,
+    magpie_source_link,
+    only_item,
+    prefix_properties,
+    split_field,
+    valid_version,
+    wxs_get_capabilities,
+)
+from stac_populator_spark.sources.merge import merge_upsert
+
+
+def test_merge_upsert_semantics(spark, tmp_path):
+    path = str(tmp_path / "items")
+    b1 = spark.createDataFrame([("a", 1), ("b", 1)], "id string, v int")
+    t1 = merge_upsert(spark, path, b1)
+    assert {(r["id"], r["v"]) for r in t1.collect()} == {("a", 1), ("b", 1)}
+
+    # upsert: existing key replaced, new key appended
+    b2 = spark.createDataFrame([("b", 2), ("c", 1)], "id string, v int")
+    t2 = merge_upsert(spark, path, b2)
+    assert {(r["id"], r["v"]) for r in t2.collect()} == {("a", 1), ("b", 2), ("c", 1)}
+
+    # idempotent: same batch again → identical table (reference 409→PUT)
+    t3 = merge_upsert(spark, path, b2)
+    assert {(r["id"], r["v"]) for r in t3.collect()} == {("a", 1), ("b", 2), ("c", 1)}
+
+
+def test_validators(spark):
+    df = spark.createDataFrame(
+        [(["x"], "ocean land", "v20190306"), (["x", "y"], "ocean", "20190306")],
+        "arr array<string>, realm string, version string",
+    )
+    out = df.select(
+        only_item(F.col("arr")).alias("scalar"),
+        split_field(F.col("realm")).alias("realms"),
+        valid_version(F.col("version")).alias("ok"),
+    ).collect()
+    assert out[0]["scalar"] == "x" and out[1]["scalar"] is None
+    assert list(out[0]["realms"]) == ["ocean", "land"]
+    assert out[0]["ok"] is True and out[1]["ok"] is False
+
+
+def test_prefix_properties(spark):
+    df = spark.createDataFrame([(1, "a", "b")], "x int, activity_id string, start_datetime string")
+    out = prefix_properties(df, "cmip6", ["activity_id", "start_datetime"])
+    assert "cmip6:activity_id" in out.columns
+    assert "start_datetime" in out.columns  # datetime-containing names not prefixed
+
+
+def test_cf_parameters(spark):
+    df = spark.createDataFrame(
+        [([("air_temperature", "K"), ("", "m"), (None, "s")],)],
+        "vars array<struct<standard_name string, units string>>",
+    )
+    out = df.select(cf_parameters(F.col("vars")).alias("params")).collect()[0]["params"]
+    assert [(p["name"], p["unit"]) for p in out] == [("air_temperature", "K")]
+
+
+def test_assets_and_service_filter(spark):
+    df = spark.createDataFrame(
+        [({"HTTPServer": "http://x/fileServer/a.nc", "WMS": "http://x/wms", "Mystery": "http://m"},)],
+        "access_urls map<string,string>",
+    )
+    assets = df.select(assets_from_access_urls(F.col("access_urls")).alias("assets"))
+    row = assets.collect()[0]["assets"]
+    assert row["HTTPServer"]["type"] == "application/x-netcdf"
+    assert list(row["WMS"]["roles"]) == ["visual"]
+    assert row["Mystery"]["type"] is None and list(row["Mystery"]["roles"]) == ["data"]
+
+    urls = df.select(wxs_get_capabilities(F.col("access_urls")).alias("u")).collect()[0]["u"]
+    assert urls["WMS"].endswith("?request=GetCapabilities")
+    assert urls["HTTPServer"] == "http://x/fileServer/a.nc"
+
+    filt = df.select(
+        filter_assets_by_service(F.col("access_urls"), ["HTTPServer", "wms_service"]).alias("a")
+    ).collect()[0]["a"]
+    assert set(filt) == {"HTTPServer", "WMS"}
+
+
+def test_magpie_source_link(spark):
+    df = spark.createDataFrame([("https://h/twitcher/fileServer/birdhouse/f.nc",), ("https://h/x.nc",)], "url string")
+    out = df.select(magpie_source_link(F.col("url")).alias("l")).collect()
+    assert out[0]["l"]["title"] == "birdhouse/f.nc"
+    assert out[0]["l"]["rel"] == "source"
+    assert out[1]["l"]["title"] is None
+
+
+def test_stac_collection_json(spark):
+    from stac_populator_spark.operators.collection_agg import (
+        collection_extent,
+        collection_summaries,
+    )
+    from stac_populator_spark.operators.stac_collection import stac_collection_json
+
+    items = spark.createDataFrame(
+        [
+            ("c1", -10.0, -20.0, 10.0, 30.0, None, dt.datetime(2020,1,1), dt.datetime(2021,1,1), {"ducks": "Rouen", "n": "3"}),
+            ("c1", -11.0, 2.0, 9.0, 50.0, None, dt.datetime(2019,1,1), dt.datetime(2022,1,1), {"ducks": "Alabio", "n": "10"}),
+        ],
+        "collection_id string, lon_min double, lat_min double, lon_max double, "
+        "lat_max double, datetime timestamp, start_datetime timestamp, "
+        "end_datetime timestamp, props map<string,string>",
+    )
+    config = spark.createDataFrame(
+        [("c1", "Title 1", "CC-BY-4.0", ["kw"])],
+        "collection_id string, title string, license string, keywords array<string>",
+    )
+    ext = collection_extent(items)
+    summ = collection_summaries(items)
+    out = stac_collection_json(ext, config, summ).collect()[0]
+    doc = json.loads(out["stac_collection_json"])
+    assert doc["type"] == "Collection" and doc["id"] == "c1"
+    assert doc["extent"]["spatial"]["bbox"] == [[-11.0, -20.0, 10.0, 50.0]]
+    assert doc["extent"]["temporal"]["interval"][0][0] == "2019-01-01T00:00:00Z"
+    assert doc["license"] == "CC-BY-4.0"
+    assert doc["summaries"]["ducks"] == ["Alabio", "Rouen"]
+    assert doc["summaries"]["n"] == {"minimum": "3.0", "maximum": "10.0"}
