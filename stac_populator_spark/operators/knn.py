@@ -101,6 +101,83 @@ def knn_join(
     )
 
 
+def knn_join_salted(
+    items: DataFrame,
+    k: int = 3,
+    res: int = 4,
+    radius: int = 1,
+    id_col: str = "id",
+    n_salts: int = 8,
+    hot_threshold: int = 1000,
+) -> DataFrame:
+    """Skew-aware kNN (J8): identical results to :func:`knn_join`, but the
+    candidate join splits *hot* cells into ``n_salts`` deterministic
+    sub-keys so no single task owns a megacity cell.
+
+    Mechanics: hot cells (right-side rows > hot_threshold) are detected
+    with one cheap count; the right side gets
+    ``salt = pmod(xxhash64(id), n_salts)``, the left (k-ring-exploded)
+    side explodes each *hot* neighbor cell into all n_salts sub-keys and
+    keeps salt=0 for cold cells. Join key = (cell, salt). Salting is
+    hash-derived — rerun/retry identical (no rand()).
+    """
+    pts = (
+        items.filter(F.col("lon").isNotNull() & F.col("lat").isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            "lon",
+            "lat",
+            hex_cell_at_res(res)(F.col("lon"), F.col("lat")).alias("cell"),
+        )
+    )
+    hot = pts.groupBy("cell").count().filter(F.col("count") > hot_threshold).select(
+        "cell", F.lit(True).alias("is_hot")
+    )
+
+    right = (
+        pts.join(F.broadcast(hot), "cell", "left")
+        .withColumn(
+            "salt",
+            F.when(F.col("is_hot"), F.pmod(F.xxhash64("id"), F.lit(n_salts))).otherwise(F.lit(0)),
+        )
+        .select(
+            F.col("id").alias("r_id"),
+            F.col("lon").alias("r_lon"),
+            F.col("lat").alias("r_lat"),
+            "cell",
+            "salt",
+        )
+    )
+    left = (
+        pts.select(
+            F.col("id").alias("l_id"),
+            F.col("lon").alias("l_lon"),
+            F.col("lat").alias("l_lat"),
+            F.explode(kring_udf(radius)(F.col("cell"))).alias("cell"),
+        )
+        .join(F.broadcast(hot), "cell", "left")
+        .withColumn(
+            "salt",
+            F.explode(
+                F.when(F.col("is_hot"), F.sequence(F.lit(0), F.lit(n_salts - 1))).otherwise(
+                    F.array(F.lit(0))
+                )
+            ),
+        )
+    )
+    pairs = (
+        left.join(right, ["cell", "salt"])
+        .filter(F.col("l_id") != F.col("r_id"))
+        .withColumn("dist_km", haversine_udf("l_lon", "l_lat", "r_lon", "r_lat"))
+    )
+    w = Window.partitionBy("l_id").orderBy(F.col("dist_km").asc(), F.col("r_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("l_id").alias("id"), F.col("r_id").alias("neighbor_id"), "dist_km", "rank")
+    )
+
+
 def knn_bruteforce(items: DataFrame, k: int = 3, id_col: str = "id") -> DataFrame:
     """Exact O(n²) kNN via cross-join — the correctness oracle for small
     inputs (FIXTURES.md §4); never run at scale."""

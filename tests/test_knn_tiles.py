@@ -36,6 +36,18 @@ def test_knn_matches_bruteforce(spark, clustered_points):
     assert a == e
 
 
+def test_knn_salted_identical_results(spark, clustered_points):
+    from stac_populator_spark.operators.knn import knn_join_salted
+
+    plain = knn_join(clustered_points, k=3, res=2, radius=1).collect()
+    # hot_threshold=10 forces the 40-point cluster cells down the salted path
+    salted = knn_join_salted(
+        clustered_points, k=3, res=2, radius=1, n_salts=4, hot_threshold=10
+    ).collect()
+    key = lambda rows: sorted((r["id"], r["rank"], r["neighbor_id"]) for r in rows)
+    assert key(salted) == key(plain)
+
+
 def test_knn_bruteforce_numpy_oracle(spark, clustered_points):
     pdf = clustered_points.toPandas()
     got = knn_bruteforce(clustered_points, k=1).collect()
