@@ -75,11 +75,15 @@ def main():
         pages_df(spark, N_PAGES, partitions=CPUS * 2).write.mode("overwrite").parquet(pages_path)
     cover = footprint_cover_df(spark, footprints_pdf())
     pages = spark.read.parquet(pages_path)
-    # warmup (JIT + Arrow init)
+    # warmup (JIT + Arrow init), then min-of-2 — first-run codegen/JIT
+    # costs several seconds and is not throughput
     materialize(build_items(pages.limit(2000), cover))
-    t0 = time.time()
-    materialize(build_items(pages, cover))
-    pages_sec = round(time.time() - t0, 3)
+    walls = []
+    for _ in range(2):
+        t0 = time.time()
+        materialize(build_items(pages, cover))
+        walls.append(time.time() - t0)
+    pages_sec = round(min(walls), 3)
     timings["pages_pipeline"] = pages_sec
 
     total = round(sum(timings.values()), 3)

@@ -14,6 +14,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -82,19 +83,36 @@ def _centroids(dim: int, k_centroids: int, seed: int = 43) -> np.ndarray:
     return c / np.linalg.norm(c, axis=1, keepdims=True)
 
 
-def _argmax_centroid_col(vec_col, cents: np.ndarray) -> F.Column:
-    """Cluster id = argmax_i dot(v, centroid_i) as one JVM expression:
-    array of (dot, i) structs → array_max → .i (ties → larger i, fixed)."""
-    scored = F.array(
-        *[
-            F.struct(
-                dot_expr(vec_col, F.array(*[F.lit(float(x)) for x in c])).alias("d"),
-                F.lit(i).alias("i"),
-            )
-            for i, c in enumerate(cents)
-        ]
-    )
-    return F.array_max(scored)["i"]
+def _assign_udf(cents: np.ndarray, top_n: int = 1):
+    """Vectorized centroid assignment: one numpy matmul per Arrow batch
+    (an inlined-literal JVM expression tree of dim×k literals is
+    compile-bound — measured several seconds of codegen at k=16, d=64).
+    Ties broken toward the larger index (argmax on reversed order is
+    avoided by adding a tiny index-ordered epsilon — deterministic)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    C = cents.T.copy()  # (dim, k)
+
+    if top_n == 1:
+        @pandas_udf(T.IntegerType())
+        def _udf(vec: pd.Series) -> pd.Series:
+            M = np.stack(vec.map(lambda v: np.asarray(v, dtype=np.float64)))
+            scores = M @ C
+            # match array_max(struct(d, i)) semantics: max d, tie → max i
+            best = scores.shape[1] - 1 - np.argmax(scores[:, ::-1], axis=1)
+            return pd.Series(best.astype(np.int32))
+
+        return _udf
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def _udf_top(vec: pd.Series) -> pd.Series:
+        M = np.stack(vec.map(lambda v: np.asarray(v, dtype=np.float64)))
+        scores = M @ C
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :top_n]
+        return pd.Series([row.astype(np.int32).tolist() for row in order])
+
+    return _udf_top
 
 
 def ivf_assign(df: DataFrame, vec_col: str = "embedding", dim: int = 64,
@@ -104,7 +122,7 @@ def ivf_assign(df: DataFrame, vec_col: str = "embedding", dim: int = 64,
     written partitioned/bucketed by ``ivf_cluster`` so probes touch only
     matching partitions (partition pruning on the cluster column)."""
     cents = _centroids(dim, k_centroids, seed)
-    return df.withColumn("ivf_cluster", _argmax_centroid_col(F.col(vec_col), cents))
+    return df.withColumn("ivf_cluster", _assign_udf(cents)(F.col(vec_col)))
 
 
 def ivf_topk(
@@ -125,20 +143,10 @@ def ivf_topk(
     cents = _centroids(dim, k_centroids, seed)
     corpus_c = ivf_assign(corpus, vec_col, dim, k_centroids, seed)
 
-    scored = F.array(
-        *[
-            F.struct(
-                dot_expr(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])).alias("d"),
-                F.lit(i).alias("i"),
-            )
-            for i, c in enumerate(cents)
-        ]
-    )
-    probes = F.slice(F.reverse(F.array_sort(scored)), 1, n_probe)
     q = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("q_vec"),
-        F.explode(F.transform(probes, lambda s: s["i"])).alias("ivf_cluster"),
+        F.explode(_assign_udf(cents, top_n=n_probe)(F.col(vec_col))).alias("ivf_cluster"),
     )
     c = corpus_c.select(F.col(id_col), F.col(vec_col).alias("c_vec"), "ivf_cluster")
     cand = c.join(F.broadcast(q), "ivf_cluster").withColumn(
