@@ -495,6 +495,21 @@ def _doc_fingerprints(spark, sf_dir):
     return with_lang_id(with_fingerprint(d)).select("doc_id", "fingerprint", "lang", "lang_pred")
 
 
+def _jaccard_pairs(spark, sf_dir):
+    from stac_populator_spark.operators.dedup import shingles_col
+
+    d = _t(spark, sf_dir, "documents").filter(F.size(F.split(F.trim("text"), r"\s+")) >= 2)
+    a = d.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("a"), shingles_col("text", 2).alias("sh_a")
+    )
+    b = d.select((F.col("doc_id") - 1).alias("a"), F.col("doc_id").alias("b"),
+                 shingles_col("text", 2).alias("sh_b"))
+    j = a.join(b, "a")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return j.select("a", "b", F.round(inter / union, 4).alias("jaccard"))
+
+
 def _stac_collections(spark, sf_dir):
     from stac_populator_spark.operators.collection_agg import (
         collection_extent,
@@ -587,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_rollup": _lineitem_rollup,
         "dead_letter_split": _dead_letter_split,
         "events_pivot": _events_pivot,
+        "jaccard_pairs": _jaccard_pairs,
         "ivf_cosine": _ivf_cosine,
         "doc_fingerprints": _doc_fingerprints,
         "stac_collections": _stac_collections,
@@ -815,6 +831,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
                    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
             FROM events GROUP BY 1
+        """,
+        "jaccard_pairs": r"""
+            WITH toks AS (
+              SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS t FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, ARRAY_LENGTH(t)),
+                                                  i -> t[i] || ' ' || t[i+1])) AS s
+              FROM toks WHERE ARRAY_LENGTH(t) >= 2
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   ROUND(CAST(ARRAY_LENGTH(LIST_INTERSECT(a.s, b.s)) AS DOUBLE)
+                         / ARRAY_LENGTH(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))), 4) AS jaccard
+            FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+            WHERE a.doc_id % 10 = 0
         """,
         "ann_cosine": """
             WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

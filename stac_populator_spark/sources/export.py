@@ -16,17 +16,25 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def dedup_items_by_id(items: DataFrame, order_col: str = "warc_ts"):
-    """(winners, duplicate_report). Winner per id = smallest
-    (order_col, url); report rows: (id, n_duplicates)."""
-    w = Window.partitionBy("id").orderBy(F.col(order_col).asc(), F.col("url").asc())
+def dedup_items_by_id(items: DataFrame, order_col: str = "warc_ts",
+                      scope: tuple = ("collection_id",)):
+    """(winners, duplicate_report). Winner per (scope, id) = smallest
+    (order_col, url); report rows: (scope..., id, n_duplicates).
+
+    The dedup scope defaults to per-collection, matching the reference's
+    per-directory duplicate check (items are written under each owning
+    collection's directory; the same item id under *different* collections
+    is a legitimate multi-match, not a duplicate — export.py:102-114
+    guards one directory at a time)."""
+    keys = [c for c in scope if c in items.columns] + ["id"]
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc(), F.col("url").asc())
     ranked = items.withColumn("_rn", F.row_number().over(w))
     winners = ranked.filter(F.col("_rn") == 1).drop("_rn")
     report = (
-        items.groupBy("id")
+        items.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("n_copies"))
         .filter(F.col("n_copies") > 1)
-        .select("id", (F.col("n_copies") - 1).alias("n_duplicates"))
+        .select(*keys, (F.col("n_copies") - 1).alias("n_duplicates"))
     )
     return winners, report
 

@@ -1,0 +1,54 @@
+"""CLI verbs end-to-end (in-process main(), reference analogue
+tests/test_cli.py): run → export → update-collection over one temp tree."""
+
+import json
+import os
+
+import pytest
+
+from stac_populator_spark.cli import main
+from stac_populator_spark.datagen import pages_df
+
+
+@pytest.fixture(scope="module")
+def tree(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("cli"))
+    pages_df(spark, 600, partitions=2).write.parquet(f"{root}/pages")
+    return root
+
+
+def test_run_verb(spark, tree):
+    rc = main(["run", "--pages", f"{tree}/pages", "--out", f"{tree}/out",
+               "--checkpoint", f"{tree}/cp"])
+    assert rc == 0
+    items = spark.read.parquet(f"{tree}/out/items")
+    assert items.count() > 0
+    assert "stac_json" in items.columns
+    cols = spark.read.parquet(f"{tree}/out/collections")
+    assert cols.count() > 0
+    # resumable: second run reuses committed snapshots (manifest present)
+    assert os.path.exists(f"{tree}/cp/_manifest.json")
+    rc2 = main(["run", "--pages", f"{tree}/pages", "--out", f"{tree}/out",
+                "--checkpoint", f"{tree}/cp"])
+    assert rc2 == 0
+
+
+def test_export_verb(spark, tree):
+    rc = main(["export", "--items", f"{tree}/out/items", "--out", f"{tree}/export"])
+    assert rc == 0
+    parts = [p for p in os.listdir(f"{tree}/export") if p.startswith("collection_id=")]
+    assert parts
+    docs = spark.read.text(f"{tree}/export").collect()
+    for r in docs[:20]:
+        assert json.loads(r["value"])["type"] == "Feature"
+    # refuses to overwrite without --resume (reference FileExistsError)
+    with pytest.raises(Exception):
+        main(["export", "--items", f"{tree}/out/items", "--out", f"{tree}/export"])
+
+
+def test_update_collection_verb(spark, tree):
+    rc = main(["update-collection", "--items", f"{tree}/out/items",
+               "--mode", "extents", "--out", f"{tree}/agg"])
+    assert rc == 0
+    ext = spark.read.parquet(f"{tree}/agg/extents")
+    assert ext.count() > 0 and "bbox" in ext.columns
