@@ -495,6 +495,21 @@ def _doc_fingerprints(spark, sf_dir):
     return with_lang_id(with_fingerprint(d)).select("doc_id", "fingerprint", "lang", "lang_pred")
 
 
+def _events_props_json(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
 def _jaccard_pairs(spark, sf_dir):
     from stac_populator_spark.operators.dedup import shingles_col
 
@@ -602,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_rollup": _lineitem_rollup,
         "dead_letter_split": _dead_letter_split,
         "events_pivot": _events_pivot,
+        "events_props_json": _events_props_json,
         "jaccard_pairs": _jaccard_pairs,
         "ivf_cosine": _ivf_cosine,
         "doc_fingerprints": _doc_fingerprints,
@@ -831,6 +847,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
                    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
             FROM events GROUP BY 1
+        """,
+        "events_props_json": """
+            SELECT event_type, COUNT(*) AS n,
+                   MIN(CAST(JSON_EXTRACT(props, '$.k') AS INT)) AS min_k,
+                   MAX(CAST(JSON_EXTRACT(props, '$.k') AS INT)) AS max_k,
+                   CAST(SUM(CAST(JSON_EXTRACT(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+            FROM events GROUP BY event_type
         """,
         "jaccard_pairs": r"""
             WITH toks AS (

@@ -66,13 +66,27 @@ def _f64(arr: pa.Array) -> np.ndarray:
         return pd.to_numeric(arr.to_pandas(), errors="coerce").to_numpy(dtype=np.float64)
 
 
+def _binary_to_utf8(arr: pa.Array) -> pa.Array:
+    """binary → validated utf8 string; batches containing invalid bytes
+    (real Common-Crawl pages have them) fall back to per-row
+    errors='replace' decoding instead of killing the task — deterministic
+    either way."""
+    if pa.types.is_string(arr.type):
+        return arr
+    try:
+        return pc.cast(arr, pa.string())
+    except pa.ArrowInvalid:
+        return pa.array(
+            [(b or b"").decode("utf-8", "replace") for b in arr.to_pylist()], pa.string()
+        )
+
+
 def _extract_batch_arrow(batch: pa.RecordBatch) -> pa.RecordBatch:
     n = batch.num_rows
     url = batch.column("url")
     if not pa.types.is_string(url.type):
         url = pc.cast(url, pa.string())
-    html = batch.column("html")
-    html = html.view(pa.string()) if pa.types.is_binary(html.type) else pc.cast(html, pa.string())
+    html = _binary_to_utf8(batch.column("html"))
 
     text = _extract_text_arrow(html)
     pos = pc.extract_regex(html, pattern=_GEO_META)

@@ -54,6 +54,17 @@ def test_crossing_rep_point_wraps():
     assert out["lon"][0] == 180.0 or out["lon"][0] == -180.0  # center of [170,-170]
 
 
+def test_invalid_utf8_html_survives():
+    # real Common-Crawl payloads contain invalid bytes; the batch must not
+    # die — errors='replace' fallback, deterministic output
+    pdf = _page("<p>ok</p>")
+    pdf.loc[0, "html"] = b"<p>\xff\xfe bad bytes</p>"
+    out1 = _extract_batch(pdf)
+    out2 = _extract_batch(pdf)
+    assert out1["text"][0] == out2["text"][0]
+    assert "bad bytes" in out1["text"][0]
+
+
 def test_id_and_datetime():
     html = '<meta name="date" content="2020-03-04T05:06:07">'
     out = _extract_batch(_page(html))
