@@ -47,8 +47,10 @@ def cmd_run(args) -> int:
     )
     out["items"].write.mode("overwrite").parquet(f"{args.out}/items")
     out["collections"].write.mode("overwrite").parquet(f"{args.out}/collections")
+    out["errors"].write.mode("overwrite").parquet(f"{args.out}/errors")
     n = spark.read.parquet(f"{args.out}/items").count()
-    print(f"items written: {n} -> {args.out}/items")
+    n_err = spark.read.parquet(f"{args.out}/errors").count()
+    print(f"items written: {n} (+{n_err} dead-lettered) -> {args.out}/items")
     return 0
 
 

@@ -48,19 +48,33 @@ def run_pipeline(
     checkpoint_root: str | None = None,
     exact: str = "rect",
 ) -> dict:
-    """Full run: items + collection extents (+ optional checkpointing).
+    """Full run: items + collection extents + dead-letter routing
+    (+ optional checkpointing).
 
-    Returns {"items": DataFrame, "collections": DataFrame, "metrics": dict}.
+    Returns {"items", "collections", "errors": DataFrame, "metrics": dict}.
+    ``errors`` is the dead-letter table (K4): rows failing validation with
+    a failure_reason column — the Spark analogue of the reference's
+    error-item JSON dumps (populators.py:288-300).
     """
+    from ..operators.validate import split_valid_invalid
+
     cover = footprint_cover_df(spark, footprints_pdf)
+
+    def build_valid():
+        return split_valid_invalid(build_items(pages, cover, exact=exact))[0]
+
+    def build_errors():
+        return split_valid_invalid(build_items(pages, cover, exact=exact))[1]
 
     if checkpoint_root:
         cp = CheckpointedPipeline(spark, checkpoint_root)
-        items = cp.run_stage("items", lambda: build_items(pages, cover, exact=exact))
+        items = cp.run_stage("items", build_valid)
+        errors = cp.run_stage("errors", build_errors)
         collections = cp.run_stage("collections", lambda: collection_extent(items))
         metrics = cp.stage_metrics()
     else:
-        items = build_items(pages, cover, exact=exact)
+        items = build_valid()
+        errors = build_errors()
         collections = collection_extent(items)
         metrics = {}
-    return {"items": items, "collections": collections, "metrics": metrics}
+    return {"items": items, "collections": collections, "errors": errors, "metrics": metrics}

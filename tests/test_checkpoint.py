@@ -58,11 +58,13 @@ def test_kill_between_stages_then_resume(spark, tmp_path):
                                   ref_items[key_cols].sort_values(key_cols).reset_index(drop=True))
     # no duplicates introduced by the resume
     assert not resumed_items.duplicated(subset=["id", "collection_id"]).any()
-    # both stages now committed, with lineage metrics
+    # all stages now committed, with lineage metrics (errors stage is
+    # empty on clean synthetic data but still committed)
     metrics = out["metrics"]
-    assert set(metrics) == {"items", "collections"}
-    for m in metrics.values():
-        assert m["rows"] > 0 and m["bytes"] > 0
+    assert set(metrics) == {"items", "errors", "collections"}
+    for name in ("items", "collections"):
+        assert metrics[name]["rows"] > 0 and metrics[name]["bytes"] > 0
+    assert out["errors"].count() == 0
 
 
 def test_partition_metrics(spark):
