@@ -178,6 +178,65 @@ def knn_join_salted(
     )
 
 
+def knn_join_exact(
+    items: DataFrame,
+    k: int = 3,
+    res: int = 4,
+    radius: int = 1,
+    id_col: str = "id",
+) -> DataFrame:
+    """EXACT kNN at scale: ring-local pass, then a per-point distance
+    guarantee decides who is done; the (few) unsatisfied points get a
+    targeted broadcast brute-force pass.
+
+    Guarantee math (equirectangular hex grid, edge e degrees): any point
+    in a cell at hex-distance ≥ radius+1 from p's cell lies at least
+    ``D_deg = max(1.5·e·(radius+1) − 2e, e·radius·√3/2)`` degrees from p
+    (center spacing ≥ 1.5e per hex step, ±e circumradius each side).
+    A neighbor at d km can be at most ``d / (111.32·cos(|lat|+D_deg))``
+    degrees away, so a point is *proven complete* when it has ≥ k ring
+    candidates and its k-th distance satisfies that bound. Everyone else —
+    typically isolated points, a vanishing fraction of a web-scale corpus —
+    is re-solved exactly: broadcast(unsatisfied) × all points.
+    """
+    from ..functions.hexgrid import edge_deg
+
+    pts = items.filter(F.col("lon").isNotNull() & F.col("lat").isNotNull()).select(
+        F.col(id_col).alias("id"), "lon", "lat"
+    )
+    ring = knn_join(pts, k=k, res=res, radius=radius, id_col="id")
+
+    e = edge_deg(res)
+    d_deg_safe = max(1.5 * e * (radius + 1) - 2.0 * e, e * radius * (3.0 ** 0.5) / 2.0)
+
+    per_point = ring.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_found"), F.max("dist_km").alias("kth_km")
+    )
+    stats = pts.join(per_point, "id", "left")
+    lat_margin = F.least(F.abs(F.col("lat")) + F.lit(d_deg_safe), F.lit(89.0))
+    required_deg = F.col("kth_km") / (F.lit(111.32) * F.cos(F.radians(lat_margin)))
+    satisfied = (F.col("n_found") >= k) & (required_deg <= F.lit(d_deg_safe))
+    unsat = stats.filter(~F.coalesce(satisfied, F.lit(False))).select("id", "lon", "lat")
+
+    done = ring.join(unsat.select("id"), "id", "left_anti")
+
+    # targeted exact pass: broadcast the (small) unsatisfied side
+    l = unsat.select(F.col("id").alias("l_id"), F.col("lon").alias("l_lon"), F.col("lat").alias("l_lat"))
+    r = pts.select(F.col("id").alias("r_id"), F.col("lon").alias("r_lon"), F.col("lat").alias("r_lat"))
+    pairs = (
+        r.join(F.broadcast(l))
+        .filter(F.col("l_id") != F.col("r_id"))
+        .withColumn("dist_km", haversine_udf("l_lon", "l_lat", "r_lon", "r_lat"))
+    )
+    w = Window.partitionBy("l_id").orderBy(F.col("dist_km").asc(), F.col("r_id").asc())
+    redo = (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("l_id").alias("id"), F.col("r_id").alias("neighbor_id"), "dist_km", "rank")
+    )
+    return done.unionByName(redo)
+
+
 def knn_bruteforce(items: DataFrame, k: int = 3, id_col: str = "id") -> DataFrame:
     """Exact O(n²) kNN via cross-join — the correctness oracle for small
     inputs (FIXTURES.md §4); never run at scale."""

@@ -48,6 +48,32 @@ def test_knn_salted_identical_results(spark, clustered_points):
     assert key(salted) == key(plain)
 
 
+def test_knn_exact_equals_bruteforce_with_isolated_points(spark):
+    from stac_populator_spark.operators.knn import knn_join_exact
+
+    # clusters PLUS isolated points whose true neighbors are far outside
+    # a radius-1 ring at res 4 (the case the plain ring join gets wrong)
+    rng = np.random.default_rng(3)
+    rows = []
+    i = 0
+    for cx, cy in [(-73.5, 45.5), (139.7, 35.7)]:
+        for _ in range(25):
+            rows.append((f"p{i:04d}", float(cx + rng.normal(0, 0.2)), float(cy + rng.normal(0, 0.2))))
+            i += 1
+    for lon, lat in [(0.0, 0.0), (5.0, 2.0), (12.0, -3.0), (60.0, 70.0), (58.0, 72.0)]:
+        rows.append((f"iso{i:04d}", lon, lat))
+        i += 1
+    pts = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "lon", "lat"]))
+
+    exact = knn_join_exact(pts, k=3, res=4, radius=1).collect()
+    brute = knn_bruteforce(pts, k=3).collect()
+    key = lambda rs: sorted((r["id"], r["rank"], r["neighbor_id"]) for r in rs)
+    assert key(exact) == key(brute)
+    # sanity: the plain ring join would NOT have matched for isolated points
+    ring_only = knn_join(pts, k=3, res=4, radius=1).collect()
+    assert key(ring_only) != key(brute)
+
+
 def test_knn_bruteforce_numpy_oracle(spark, clustered_points):
     pdf = clustered_points.toPandas()
     got = knn_bruteforce(clustered_points, k=1).collect()
