@@ -64,8 +64,11 @@ def _extract_text_arrow(arr: pa.Array) -> pa.Array:
     s = pc.replace_substring_regex(arr, pattern=_DROP_CONTENT, replacement="")
     s = pc.replace_substring_regex(s, pattern=_BLOCK_TAGS, replacement="\n")
     s = pc.replace_substring_regex(s, pattern=_ANY_TAG, replacement=" ")
-    for ent, ch in _ENTITIES:
-        s = pc.replace_substring(s, pattern=ent, replacement=ch)
+    # entity decode: 6 corpus copies — skip them entirely for batches with
+    # no '&' at all (one scan; row-local semantics unchanged)
+    if pc.any(pc.match_substring(s, "&")).as_py():
+        for ent, ch in _ENTITIES:
+            s = pc.replace_substring(s, pattern=ent, replacement=ch)
     s = pc.replace_substring_regex(s, pattern=r"[ \t\r\f\v]+", replacement=" ")
     # any whitespace run containing a newline collapses to one newline
     # (equivalent to the two-pass ' ?\n ?' + '\n\s*\n+' form, one copy less)

@@ -57,12 +57,37 @@ def grid_cell_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
     return pd.Series(grid_cell_np(lon.to_numpy(), lat.to_numpy()))
 
 
+_CELLS_STRUCT = T.StructType(
+    [
+        T.StructField("s2", T.LongType()),
+        T.StructField("hex", T.LongType()),
+        T.StructField("grid", T.LongType()),
+    ]
+)
+
+
+@pandas_udf(_CELLS_STRUCT)
+def all_cells_udf(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+    """All three indexes in ONE Arrow round-trip — (lon, lat) cross the
+    JVM↔Python bridge once instead of three times."""
+    lo, la = lon.to_numpy(), lat.to_numpy()
+    return pd.DataFrame(
+        {
+            "s2": s2_cell_id(lo, la, S2_LEVEL),
+            "hex": hex_cell(lo, la, HEX_RES),
+            "grid": grid_cell_np(lo, la),
+        }
+    )
+
+
 def encode_cells(items: DataFrame, lon_col: str = "lon", lat_col: str = "lat") -> DataFrame:
     """Append cell_s2 / cell_hex / cell_grid columns (null geometry → null)."""
     lon, lat = F.col(lon_col), F.col(lat_col)
     has = lon.isNotNull() & lat.isNotNull()
     return (
-        items.withColumn("cell_s2", F.when(has, s2_cell_udf(lon, lat)))
-        .withColumn("cell_hex", F.when(has, hex_cell_udf(lon, lat)))
-        .withColumn("cell_grid", F.when(has, grid_cell_udf(lon, lat)))
+        items.withColumn("_cells", all_cells_udf(lon, lat))
+        .withColumn("cell_s2", F.when(has, F.col("_cells.s2")))
+        .withColumn("cell_hex", F.when(has, F.col("_cells.hex")))
+        .withColumn("cell_grid", F.when(has, F.col("_cells.grid")))
+        .drop("_cells")
     )
