@@ -1,0 +1,168 @@
+"""CF-metadata-dict source: the reference's raw input shape → item records.
+
+The reference's loaders yield CF metadata dicts produced by
+``xncml...to_cf_dict()`` (/root/reference/STACpopulator/input.py:152-170,
+checked-in examples /root/reference/tests/data/{rdps,hrdps_*,cordex6_*}.json).
+This source parses those documents (one JSON per row, Arrow-batched) into
+the engine's item model:
+
+- bbox/vertical from ``groups.CFMetadata.attributes.geospatial_*``
+  (GeoData.from_ncattrs, stac_utils.py:140-181); values may be 1-element
+  lists (numpy scalar leakage, stac_utils.py:254-273) — unwrapped;
+- longitudes in 0–360 convention are normalized to ±180
+  (lon > 180 → lon − 360), which can produce lon_min > lon_max — exactly
+  the reference's antimeridian-crossing state (stac_utils.py:183-186).
+  NOTE: the reference reprojects arbitrary CRSs via pyproj
+  (stac_utils.py:110-138); this sandbox has no pyproj wheel, so the
+  supported subset is WGS84-like/0-360 inputs — ``to_wgs84_fn`` is the
+  drop-in seam for a real pyproj transformer (import-try, same signature);
+- temporal extent from ``time_coverage_{start,end}``
+  (datacube.py:273-278); item rule: datetime null ⇔ start/end present
+  (populators.py:169-172);
+- ``variables`` map → array<struct<name, standard_name, units, axis,
+  bounds>> ready for operators.datacube classification;
+- ``access_urls`` map preserved for extensions.assets_from_access_urls.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ..functions.geometry import item_id_from_url, to_geometry
+
+CF_ITEM_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("lon_min", T.DoubleType()),
+        T.StructField("lat_min", T.DoubleType()),
+        T.StructField("lon_max", T.DoubleType()),
+        T.StructField("lat_max", T.DoubleType()),
+        T.StructField("z_min", T.DoubleType()),
+        T.StructField("z_max", T.DoubleType()),
+        T.StructField("crosses_am", T.BooleanType()),
+        T.StructField("bbox", T.ArrayType(T.DoubleType())),
+        T.StructField("geometry", T.StringType()),
+        T.StructField("start_datetime", T.TimestampType()),
+        T.StructField("end_datetime", T.TimestampType()),
+        T.StructField("access_urls", T.MapType(T.StringType(), T.StringType())),
+        T.StructField(
+            "vars",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("name", T.StringType()),
+                        T.StructField("standard_name", T.StringType()),
+                        T.StructField("units", T.StringType()),
+                        T.StructField("axis", T.StringType()),
+                        T.StructField("bounds", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def _scalar(v):
+    """Unwrap 1-element lists (np2py leakage, stac_utils.py:254-296)."""
+    if isinstance(v, list):
+        return v[0] if v else None
+    return v
+
+
+def _norm_lon(lon: float | None) -> float | None:
+    if lon is None:
+        return None
+    return lon - 360.0 if lon > 180.0 else lon
+
+
+def parse_cf_document(doc: dict, fallback_id: str = "") -> dict:
+    """One CF dict → one item-record dict (pure python; unit-testable)."""
+    cf = (doc.get("groups", {}).get("CFMetadata", {}) or {}).get("attributes", {}) or {}
+    lat_min = _scalar(cf.get("geospatial_lat_min"))
+    lat_max = _scalar(cf.get("geospatial_lat_max"))
+    lon_min = _norm_lon(_scalar(cf.get("geospatial_lon_min")))
+    lon_max = _norm_lon(_scalar(cf.get("geospatial_lon_max")))
+    z_min = _scalar(cf.get("geospatial_vertical_min"))
+    z_max = _scalar(cf.get("geospatial_vertical_max"))
+
+    has_geom = lon_min is not None and lat_min is not None
+    bbox = geometry = crosses = None
+    if has_geom:
+        from ..functions.geometry import make_bbox
+
+        bbox = make_bbox(lon_min, lat_min, lon_max, lat_max, z_min, z_max)
+        geometry = json.dumps(
+            to_geometry(lon_min, lat_min, lon_max, lat_max, z_min, z_max),
+            separators=(",", ":"),
+        )
+        crosses = lon_min > lon_max
+
+    access = {k: str(v) for k, v in (doc.get("access_urls") or {}).items()}
+    loc = doc.get("@location") or ""
+    if loc.startswith(("http://", "https://")):
+        item_id = item_id_from_url(loc)
+    elif access.get("HTTPServer", "").startswith(("http://", "https://")):
+        item_id = item_id_from_url(access["HTTPServer"])
+    else:
+        item_id = fallback_id
+
+    def ts(key):
+        v = _scalar(cf.get(key))
+        if not v:
+            return None
+        return pd.to_datetime(str(v).rstrip("Z"), errors="coerce").to_pydatetime()
+
+    variables = []
+    for name, spec in (doc.get("variables") or {}).items():
+        a = (spec or {}).get("attributes", {}) or {}
+        variables.append(
+            {
+                "name": name,
+                "standard_name": a.get("standard_name"),
+                "units": a.get("units"),
+                "axis": a.get("axis"),
+                "bounds": a.get("bounds"),
+            }
+        )
+
+    return {
+        "id": item_id,
+        "lon_min": lon_min,
+        "lat_min": lat_min,
+        "lon_max": lon_max,
+        "lat_max": lat_max,
+        "z_min": float(z_min) if z_min is not None else None,
+        "z_max": float(z_max) if z_max is not None else None,
+        "crosses_am": crosses,
+        "bbox": bbox,
+        "geometry": geometry,
+        "start_datetime": ts("time_coverage_start"),
+        "end_datetime": ts("time_coverage_end"),
+        "access_urls": access,
+        "vars": variables,
+    }
+
+
+def cf_items(df: DataFrame, json_col: str = "value", id_col: str | None = "path") -> DataFrame:
+    """DataFrame of CF-dict JSON strings → item records (mapInPandas)."""
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for _, r in pdf.iterrows():
+                fallback = str(r[id_col]) if id_col and id_col in pdf.columns else ""
+                try:
+                    doc = json.loads(r[json_col])
+                except (json.JSONDecodeError, TypeError):
+                    continue  # dead-letter path handles malformed docs upstream
+                rows.append(parse_cf_document(doc, fallback_id=fallback))
+            yield pd.DataFrame(rows, columns=[f.name for f in CF_ITEM_SCHEMA.fields])
+
+    return df.mapInPandas(run, schema=CF_ITEM_SCHEMA)
