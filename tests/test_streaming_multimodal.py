@@ -65,6 +65,26 @@ def test_stream_resume_no_duplicates(spark, tmp_path, cover):
     assert got.groupBy("id", "collection_id").count().filter(F.col("count") > 1).count() == 0
 
 
+def test_stream_collection_counts(spark, tmp_path, cover):
+    from stac_populator_spark.streaming.ingest import stream_collection_counts
+
+    src = str(tmp_path / "pages_in3")
+    cp = str(tmp_path / "cp3")
+    _write_pages_files(spark, src, [(0, 400)])
+    q = stream_collection_counts(read_pages_stream(spark, src), cover, cp)
+    q.awaitTermination(120)
+    got = spark.sql("select * from collection_counts")
+    # streaming incremental agg equals the batch aggregate (A6 semantics)
+    from stac_populator_spark.operators.collection_agg import collection_extent
+    from stac_populator_spark.plans.pipeline import build_items
+
+    batch = collection_extent(build_items(spark.read.parquet(src), cover))
+    key = lambda df: sorted(
+        (r["collection_id"], r["item_count"], tuple(r["bbox"])) for r in df.collect()
+    )
+    assert key(got) == key(batch)
+
+
 def test_decode_stub_contract():
     with pytest.raises(NotImplementedError):
         decode_image(b"abc")
