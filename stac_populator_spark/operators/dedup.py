@@ -46,14 +46,20 @@ def shingles_col(text_col: str = "text", n: int = 3) -> F.Column:
 
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                        n_hashes: int = N_MINHASH) -> DataFrame:
-    """(id, mh0..mh{n-1}): min over shingles of xxhash64(seed, shingle).
+    """(id, mh0..mh{n-1}): min over shingles of xxhash64(seed, h(shingle)).
+
+    Each shingle string is hashed ONCE (h = xxhash64(sh)); the n seeded
+    variants re-hash that single long — n× cheaper than re-hashing the
+    string per seed, with the same min-wise independence.
 
     Shuffle profile: explode is narrow; the groupBy's 64 mins all combine
     map-side, so the exchange carries one 64-long row per document.
     """
-    sh = df.select(F.col(id_col), F.explode(shingles_col(text_col)).alias("sh"))
+    sh = df.select(F.col(id_col), F.explode(shingles_col(text_col)).alias("sh")).select(
+        id_col, F.xxhash64("sh").alias("h")
+    )
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"mh{i}") for i in range(n_hashes)
+        F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"mh{i}") for i in range(n_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)
 
