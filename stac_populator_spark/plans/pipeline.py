@@ -56,25 +56,30 @@ def run_pipeline(
     a failure_reason column — the Spark analogue of the reference's
     error-item JSON dumps (populators.py:288-300).
     """
+    from pyspark.sql import functions as F
+
     from ..operators.validate import split_valid_invalid
 
     cover = footprint_cover_df(spark, footprints_pdf)
 
-    def build_valid():
-        return split_valid_invalid(build_items(pages, cover, exact=exact))[0]
-
-    def build_errors():
-        return split_valid_invalid(build_items(pages, cover, exact=exact))[1]
+    def build_tagged():
+        # ONE heavy extraction+join pass producing every row with its
+        # failure_reason (null = valid); items/errors are cheap filters of
+        # this stage — never re-extract the corpus for the dead letters
+        valid, dead = split_valid_invalid(build_items(pages, cover, exact=exact))
+        return valid.withColumn("failure_reason", F.lit(None).cast("string")).unionByName(dead)
 
     if checkpoint_root:
         cp = CheckpointedPipeline(spark, checkpoint_root)
-        items = cp.run_stage("items", build_valid)
-        errors = cp.run_stage("errors", build_errors)
+        tagged = cp.run_stage("extracted", build_tagged)
+        items = tagged.filter(F.col("failure_reason").isNull()).drop("failure_reason")
+        errors = tagged.filter(F.col("failure_reason").isNotNull())
         collections = cp.run_stage("collections", lambda: collection_extent(items))
         metrics = cp.stage_metrics()
     else:
-        items = build_valid()
-        errors = build_errors()
+        tagged = build_tagged()
+        items = tagged.filter(F.col("failure_reason").isNull()).drop("failure_reason")
+        errors = tagged.filter(F.col("failure_reason").isNotNull())
         collections = collection_extent(items)
         metrics = {}
     return {"items": items, "collections": collections, "errors": errors, "metrics": metrics}

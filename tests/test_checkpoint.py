@@ -35,14 +35,23 @@ def test_kill_between_stages_then_resume(spark, tmp_path):
     pages = pages_df(spark, 400, partitions=2)
     fps = footprints_pdf()[:100]
 
-    # "killed" run: only stage 1 commits (simulate by running stage 1 alone)
-    cp = CheckpointedPipeline(spark, root)
+    # "killed" run: only stage 1 commits (simulate by running stage 1 alone,
+    # exactly as run_pipeline builds it)
+    from pyspark.sql import functions as F
+
     from stac_populator_spark.operators.spatial_join import footprint_cover_df
+    from stac_populator_spark.operators.validate import split_valid_invalid
     from stac_populator_spark.plans.pipeline import build_items
 
+    cp = CheckpointedPipeline(spark, root)
     cover = footprint_cover_df(spark, fps)
-    cp.run_stage("items", lambda: build_items(pages, cover))
-    assert StageManifest(root).completed("items") is not None
+
+    def build_tagged():
+        valid, dead = split_valid_invalid(build_items(pages, cover))
+        return valid.withColumn("failure_reason", F.lit(None).cast("string")).unionByName(dead)
+
+    cp.run_stage("extracted", build_tagged)
+    assert StageManifest(root).completed("extracted") is not None
     assert StageManifest(root).completed("collections") is None
 
     # resumed full run
@@ -58,12 +67,12 @@ def test_kill_between_stages_then_resume(spark, tmp_path):
                                   ref_items[key_cols].sort_values(key_cols).reset_index(drop=True))
     # no duplicates introduced by the resume
     assert not resumed_items.duplicated(subset=["id", "collection_id"]).any()
-    # all stages now committed, with lineage metrics (errors stage is
-    # empty on clean synthetic data but still committed)
+    # all stages now committed, with lineage metrics; dead letters are a
+    # filter of the committed stage (no recompute), empty on clean data
     metrics = out["metrics"]
-    assert set(metrics) == {"items", "errors", "collections"}
-    for name in ("items", "collections"):
-        assert metrics[name]["rows"] > 0 and metrics[name]["bytes"] > 0
+    assert set(metrics) == {"extracted", "collections"}
+    for m in metrics.values():
+        assert m["rows"] > 0 and m["bytes"] > 0
     assert out["errors"].count() == 0
 
 
