@@ -119,6 +119,86 @@ def pip_refine_udf(lon: pd.Series, lat: pd.Series, ring_json: pd.Series) -> pd.S
     return pd.Series(out)
 
 
+# multi-resolution join grids: big footprints cover few coarse cells, small
+# footprints few fine cells — the cover table stays O(#footprints) rows even
+# when footprint sizes span orders of magnitude (single-res covers explode
+# as (width/grid)² for the biggest footprints).
+MULTI_RES_DEG = (16.0, 4.0, 1.0)
+
+
+def multires_cover_df(spark: SparkSession, footprints: pd.DataFrame,
+                      levels: tuple = MULTI_RES_DEG) -> DataFrame:
+    """Cover each footprint at the coarsest level with ≤ ~16 cells. Adds a
+    ``res`` column (index into levels)."""
+    parts = []
+    fps = footprints.copy()
+    for ri, deg in enumerate(levels):
+        if not len(fps):
+            break
+        is_last = ri == len(levels) - 1
+        if is_last:
+            stay, rest = fps, fps.iloc[0:0]
+        else:
+            widths = fps["bbox"].map(
+                lambda b: (b[2] - b[0]) if b[2] >= b[0] else (360.0 - b[0] + b[2])
+            )
+            heights = fps["bbox"].map(lambda b: b[3] - b[1])
+            next_deg = levels[ri + 1]
+            # footprints bigger than the NEXT (finer) step stay at this
+            # coarse level (cells ≤ ~(size/deg + 2)²); smaller ones fall
+            # through so fine footprints never bloat coarse-cell joins
+            big = (widths > next_deg) | (heights > next_deg)
+            stay, rest = fps[big], fps[~big]
+        if len(stay):
+            c = footprint_cover_pdf(stay, grid_deg=deg)
+            c["res"] = ri
+            parts.append(c)
+        fps = rest
+    cover = pd.concat(parts, ignore_index=True) if parts else footprint_cover_pdf(footprints)
+    schema = T.StructType(
+        [
+            T.StructField("cell_grid", T.LongType()),
+            T.StructField("collection_id", T.StringType()),
+            T.StructField("f_lon_min", T.DoubleType()),
+            T.StructField("f_lat_min", T.DoubleType()),
+            T.StructField("f_lon_max", T.DoubleType()),
+            T.StructField("f_lat_max", T.DoubleType()),
+            T.StructField("ring_json", T.StringType()),
+            T.StructField("res", T.IntegerType()),
+        ]
+    )
+    cover["res"] = cover["res"].astype("int32")
+    return spark.createDataFrame(cover, schema=schema)
+
+
+def pip_join_multires(
+    items: DataFrame,
+    cover: DataFrame,
+    levels: tuple = MULTI_RES_DEG,
+    exact: str = "rect",
+) -> DataFrame:
+    """Broadcast PIP join against a multi-resolution cover: the fact side
+    computes one grid cell per level (pure arithmetic via the shared
+    formula) and unions the per-level broadcast joins — still zero
+    fact-side shuffle; candidate volume stays bounded for footprints of
+    any size."""
+    from pyspark.sql import functions as F2
+
+    out = None
+    for ri, deg in enumerate(levels):
+        lvl_cover = cover.filter(F.col("res") == ri).drop("res")
+        import math
+
+        nx = 1000  # same gx*1000+gy packing as grid_cell_np
+        gx = F2.floor((F2.col("lon") + 180.0) / deg).cast("long")
+        gx = F2.least(gx, F2.lit(int(math.ceil(360.0 / deg)) - 1))
+        gy = F2.floor((F2.col("lat") + 90.0) / deg).cast("long")
+        lvl_items = items.withColumn("cell_grid", gx * nx + gy)
+        j = pip_join(lvl_items, lvl_cover, exact=exact)
+        out = j if out is None else out.unionByName(j)
+    return out
+
+
 def pip_join(
     items: DataFrame,
     cover: DataFrame,

@@ -90,6 +90,25 @@ def test_antimeridian_footprints_match(spark, items, fps):
     assert got == expected
 
 
+def test_multires_pip_matches_bruteforce(spark, items, fps):
+    from stac_populator_spark.operators.spatial_join import (
+        multires_cover_df,
+        pip_join_multires,
+    )
+
+    cover = multires_cover_df(spark, fps)
+    # cover stays compact: ≤ ~20 cells per footprint at its chosen level
+    assert cover.count() < len(fps) * 25
+    assert cover.select("res").distinct().count() >= 2  # mixed sizes → mixed levels
+    geo = items.filter(F.col("lon").isNotNull()).drop("cell_grid")
+    got = {
+        (r["id"], r["collection_id"])
+        for r in pip_join_multires(geo, cover).select("id", "collection_id").collect()
+    }
+    expected = _brute_force_pip(items.select("id", "lon", "lat").toPandas(), fps)
+    assert got == expected
+
+
 def test_cover_cells_contain_all_matches(items, fps):
     # every brute-force match's item cell must appear in the cover (no
     # false negatives from the coarse-grid candidate stage)
