@@ -61,20 +61,30 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
-def lsh_signature_col(vec_col: str, planes: np.ndarray) -> F.Column:
+def lsh_signature_udf(planes: np.ndarray):
     """Random-hyperplane signature: bit i = sign(v · plane_i), assembled
-    into a long — planes inlined as literal arrays (broadcast by plan)."""
-    sig = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        d = dot_expr(F.col(vec_col), plane)
-        sig = sig.bitwiseOR(F.when(d > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long")))
-    return sig
+    into a long — one numpy matmul per Arrow batch (inlined literal
+    expression trees are codegen-compile-bound, see _assign_udf)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    P = planes.T.copy()  # (dim, n_planes)
+    weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+
+    @pandas_udf(T.LongType())
+    def _udf(vec: pd.Series) -> pd.Series:
+        M = np.stack(vec.map(lambda v: np.asarray(v, dtype=np.float64)))
+        bits = (M @ P) > 0
+        return pd.Series((bits @ weights).astype(np.int64))
+
+    return _udf
 
 
 def lsh_bucket(df: DataFrame, vec_col: str = "embedding", dim: int = 64,
                n_planes: int = 16, seed: int = 42) -> DataFrame:
-    return df.withColumn("lsh_sig", lsh_signature_col(vec_col, _hyperplanes(dim, n_planes, seed)))
+    return df.withColumn(
+        "lsh_sig", lsh_signature_udf(_hyperplanes(dim, n_planes, seed))(F.col(vec_col))
+    )
 
 
 def _centroids(dim: int, k_centroids: int, seed: int = 43) -> np.ndarray:
