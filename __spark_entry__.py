@@ -495,6 +495,26 @@ def _doc_fingerprints(spark, sf_dir):
     return with_lang_id(with_fingerprint(d)).select("doc_id", "fingerprint", "lang", "lang_pred")
 
 
+def _quantity_percentiles(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("price_p25"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def _segment_setops(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    buyers = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    both = building.intersect(buyers).withColumn("grp", F.lit("building_buyers"))
+    silent = building.exceptAll(buyers).withColumn("grp", F.lit("building_no_orders"))
+    return both.unionByName(silent).groupBy("grp").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
 def _events_props_json(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
@@ -617,6 +637,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_rollup": _lineitem_rollup,
         "dead_letter_split": _dead_letter_split,
         "events_pivot": _events_pivot,
+        "quantity_percentiles": _quantity_percentiles,
+        "segment_setops": _segment_setops,
         "events_props_json": _events_props_json,
         "jaccard_pairs": _jaccard_pairs,
         "ivf_cosine": _ivf_cosine,
@@ -847,6 +869,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
                    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
             FROM events GROUP BY 1
+        """,
+        "quantity_percentiles": """
+            SELECT l_returnflag,
+                   ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS p50,
+                   ROUND(QUANTILE_CONT(l_quantity, 0.9), 4) AS p90,
+                   ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 4) AS price_p25,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "segment_setops": """
+            WITH building AS (
+              SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+            ), buyers AS (
+              SELECT c_custkey FROM customer WHERE EXISTS (
+                SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            ), tagged AS (
+              SELECT c_custkey, 'building_buyers' AS grp
+              FROM (SELECT * FROM building INTERSECT SELECT * FROM buyers)
+              UNION ALL
+              SELECT c_custkey, 'building_no_orders' AS grp
+              FROM (SELECT * FROM building EXCEPT ALL SELECT * FROM buyers)
+            )
+            SELECT grp, COUNT(*) AS n_customers FROM tagged GROUP BY grp
         """,
         "events_props_json": """
             SELECT event_type, COUNT(*) AS n,
