@@ -495,6 +495,14 @@ def _doc_fingerprints(spark, sf_dir):
     return with_lang_id(with_fingerprint(d)).select("doc_id", "fingerprint", "lang", "lang_pred")
 
 
+def _tile_pyramid(spark, sf_dir):
+    from stac_populator_spark.operators.tiles import assign_items_to_tiles, tile_pyramid
+
+    pts = _doc_points(_t(spark, sf_dir, "documents"))
+    tiled = assign_items_to_tiles(pts, z=7)
+    return tile_pyramid(tiled, base_z=7)
+
+
 def _quantity_percentiles(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
@@ -637,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_rollup": _lineitem_rollup,
         "dead_letter_split": _dead_letter_split,
         "events_pivot": _events_pivot,
+        "tile_pyramid": _tile_pyramid,
         "quantity_percentiles": _quantity_percentiles,
         "segment_setops": _segment_setops,
         "events_props_json": _events_props_json,
@@ -869,6 +878,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
                    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
             FROM events GROUP BY 1
+        """,
+        "tile_pyramid": f"""
+            WITH pts AS ({_DOC_POINTS_SQL}),
+            base AS (
+              SELECT GREATEST(0, LEAST(127, CAST(FLOOR((lon + 180.0) / (360.0/128)) AS INT))) AS tile_x,
+                     GREATEST(0, LEAST(127, CAST(FLOOR((85.0 - lat) / (170.0/128)) AS INT))) AS tile_y
+              FROM pts
+            ), levels AS (
+              SELECT z, tile_x >> (7 - z) AS x, tile_y >> (7 - z) AS y
+              FROM base, (SELECT UNNEST(RANGE(0, 8)) AS z)
+            )
+            SELECT z, x, y, COUNT(*) AS n_items FROM levels GROUP BY z, x, y
         """,
         "quantity_percentiles": """
             SELECT l_returnflag,

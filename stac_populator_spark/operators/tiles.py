@@ -51,6 +51,28 @@ def assign_items_to_tiles(items: DataFrame, z: int = 7) -> DataFrame:
     )
 
 
+def tile_pyramid(items: DataFrame, base_z: int = 7, value_col: str | None = None) -> DataFrame:
+    """Tile-pyramid rollup: per-tile aggregates at every zoom 0..base_z.
+
+    Input needs ``tile_x``/``tile_y`` at ``base_z`` (assign_items_to_tiles).
+    One explode over the zoom levels + one groupBy — parent tile ids are
+    bit-shifts of the base tile, so the whole pyramid is a single shuffle
+    keyed on (z, x, y) with map-side partial aggregation (the hypertable-
+    rollup shape: each finer level folds into coarser ones exactly).
+    Returns (z, x, y, n_items[, sum_value]).
+    """
+    lv = items.filter(F.col("tile_x").isNotNull()).withColumn(
+        "z", F.explode(F.sequence(F.lit(0), F.lit(base_z)))
+    )
+    # shiftrightunsigned's numBits arg must be a column expression via SQL
+    x = F.expr(f"shiftrightunsigned(tile_x, {base_z} - z)").alias("x")
+    y = F.expr(f"shiftrightunsigned(tile_y, {base_z} - z)").alias("y")
+    aggs = [F.count(F.lit(1)).alias("n_items")]
+    if value_col:
+        aggs.append(F.round(F.sum(value_col), 4).alias("sum_value"))
+    return lv.groupBy("z", x, y).agg(*aggs)
+
+
 def assign_tiles_to_footprints(tiles: DataFrame, footprints: DataFrame) -> DataFrame:
     """(tile_id, collection_id) pairs where tile bbox intersects footprint
     bbox (closed intervals). Antimeridian-crossing footprints must be
