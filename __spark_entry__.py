@@ -726,8 +726,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, ROUND(lon, 6) AS lon, ROUND(lat, 6) AS lat,
                    GREATEST(0, LEAST(127, CAST(FLOOR((lon + 180.0) / (360.0/128)) AS INT))) AS tile_x,
                    GREATEST(0, LEAST(127, CAST(FLOOR((85.0 - lat) / (170.0/128)) AS INT))) AS tile_y,
-                   CAST(FLOOR((lon + 180.0) / 4.0) AS BIGINT) * 1000
-                     + CAST(FLOOR((lat + 90.0) / 4.0) AS BIGINT) AS cell_grid
+                   LEAST(89, CAST(FLOOR((lon + 180.0) / 4.0) AS BIGINT)) * 1000
+                     + LEAST(44, CAST(FLOOR((lat + 90.0) / 4.0) AS BIGINT)) AS cell_grid
             FROM ({_DOC_POINTS_SQL}) pts
         """,
         "pip_points": f"""

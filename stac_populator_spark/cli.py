@@ -61,9 +61,13 @@ def cmd_export(args) -> int:
     spark = get_spark(app_name="stac-populator-export")
     items = spark.read.parquet(args.items)
     winners, report = dedup_items_by_id(items)
-    dup_rows = report.collect()
     export_items_json(winners, args.out, mode="overwrite" if args.resume else "error")
-    print(f"exported {winners.count()} items; duplicate ids: {len(dup_rows)}")
+    # the duplicate report is unbounded at scale — sink it, never collect it
+    # (underscore prefix: Spark readers ignore it when reading the export)
+    report.write.mode("overwrite").parquet(f"{args.out}/_duplicates")
+    n_dups = spark.read.parquet(f"{args.out}/_duplicates").count()
+    print(f"exported {winners.count()} items; duplicate ids: {n_dups}"
+          f" (report at {args.out}/_duplicates)")
     return 0
 
 

@@ -38,7 +38,9 @@ def grid_cell_np(lon, lat, grid_deg: float = GRID_DEG) -> np.ndarray:
     gx = np.floor((np.where(nan, 0.0, lon) + 180.0) / grid_deg).astype(np.int64)
     gy = np.floor((np.where(nan, 0.0, lat) + 90.0) / grid_deg).astype(np.int64)
     nx = int(np.ceil(360.0 / grid_deg))
+    ny = int(np.ceil(180.0 / grid_deg))
     gx = np.clip(gx, 0, nx - 1)  # lon=180 folds into the last column
+    gy = np.clip(gy, 0, ny - 1)  # lat=90 folds into the last row (matches _cover_box clamp)
     return np.where(nan, np.int64(-1), gx * 1000 + gy)
 
 

@@ -127,8 +127,10 @@ def _extract_batch_arrow(batch: pa.RecordBatch) -> pa.RecordBatch:
     # tests/test_extract.py
     geoms: list = [None] * n
     for k in np.nonzero(has_geom)[0]:
-        a, b = lon_min[k], lat_min[k]
-        c, d = lon_max[k], lat_max[k]
+        # float() before !r: repr(np.float64(x)) is only plain-number JSON
+        # under numpy 1.x; numpy>=2 would emit 'np.float64(1.0)'
+        a, b = float(lon_min[k]), float(lat_min[k])
+        c, d = float(lon_max[k]), float(lat_max[k])
         if a > c:  # antimeridian → MultiPolygon split (stac_utils.py:230-251)
             geoms[k] = (
                 '{"type":"MultiPolygon","coordinates":'

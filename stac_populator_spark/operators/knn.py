@@ -215,7 +215,17 @@ def knn_join_exact(
     stats = pts.join(per_point, "id", "left")
     lat_margin = F.least(F.abs(F.col("lat")) + F.lit(d_deg_safe), F.lit(89.0))
     required_deg = F.col("kth_km") / (F.lit(111.32) * F.cos(F.radians(lat_margin)))
-    satisfied = (F.col("n_found") >= k) & (required_deg <= F.lit(d_deg_safe))
+    # the guarantee treats lon as an unwrapped axis while haversine wraps at
+    # ±180: a point near the antimeridian (or a pole) may have a closer
+    # cross-seam neighbor its k-ring never saw — those points are never
+    # 'proven complete' and always take the exact pass. Seam margin =
+    # 2·e·(radius+1) degrees (ring extent + one cell of slack); at the poles
+    # the lon metric degenerates, same margin on |lat|.
+    seam_margin = 2.0 * e * (radius + 1)
+    near_seam = (F.abs(F.col("lon")) >= F.lit(180.0 - seam_margin)) | (
+        F.abs(F.col("lat")) >= F.lit(90.0 - seam_margin)
+    )
+    satisfied = (F.col("n_found") >= k) & (required_deg <= F.lit(d_deg_safe)) & ~near_seam
     unsat = stats.filter(~F.coalesce(satisfied, F.lit(False))).select("id", "lon", "lat")
 
     done = ring.join(unsat.select("id"), "id", "left_anti")

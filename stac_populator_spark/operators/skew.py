@@ -46,10 +46,12 @@ def two_phase_count(df: DataFrame, key_col: str, unique_col: str, n_salts: int =
     """Skew-proof count per key: partial count per (key, salt) → final sum
     per key. Map-side combine already handles most of this for counts; the
     pattern matters for collect-like or heavy aggregations."""
+    # group by (key, salt) — never parse the key back out of the salted
+    # string (keys containing '#' would be truncated and merged)
+    salt = F.pmod(F.xxhash64(F.col(unique_col)), F.lit(n_salts))
     partial = (
-        salt_fact(df, key_col, unique_col, n_salts)
-        .groupBy("salted_key")
+        df.withColumn("_salt", salt)
+        .groupBy(key_col, "_salt")
         .agg(F.count(F.lit(1)).alias("_c"))
-        .withColumn(key_col, F.split(F.col("salted_key"), "#").getItem(0))
     )
     return partial.groupBy(key_col).agg(F.sum("_c").alias("cnt"))

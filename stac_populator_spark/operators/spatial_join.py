@@ -193,6 +193,8 @@ def pip_join_multires(
         gx = F2.floor((F2.col("lon") + 180.0) / deg).cast("long")
         gx = F2.least(gx, F2.lit(int(math.ceil(360.0 / deg)) - 1))
         gy = F2.floor((F2.col("lat") + 90.0) / deg).cast("long")
+        # lat=90 folds into the last row, matching _cover_box's lat_max clamp
+        gy = F2.least(gy, F2.lit(int(math.ceil(180.0 / deg)) - 1))
         lvl_items = items.withColumn("cell_grid", gx * nx + gy)
         j = pip_join(lvl_items, lvl_cover, exact=exact)
         out = j if out is None else out.unionByName(j)
@@ -203,6 +205,7 @@ def pip_join(
     items: DataFrame,
     cover: DataFrame,
     exact: str = "rect",
+    how: str = "inner",
 ) -> DataFrame:
     """Broadcast PIP join: items (with lon/lat/cell_grid) × footprint cover.
 
@@ -210,9 +213,36 @@ def pip_join(
     bbox-ring footprints this engine generates — same shapes the reference
     produces, stac_utils.py:197-228). ``exact='pip'`` refines with the
     general ray-casting UDF. ``exact='none'`` returns raw candidates.
-    Returns items joined with matching collection_id (inner join; items in
-    no footprint drop out, mirroring items not posted to any collection).
+
+    ``how='inner'`` (default): items in no footprint drop out, mirroring
+    items not posted to any collection. ``how='left'``: every item row is
+    preserved — null-geometry items and footprint-unmatched items carry a
+    null collection_id (the reference tolerates geometry-less items,
+    collection_update.py:45-48). The rect/none left path folds refinement
+    into the join condition so it stays ONE BroadcastHashJoin(LeftOuter) —
+    zero fact-side shuffle. The pip left path needs a left_anti recovery
+    pass (a Python UDF can't sit in an outer-join condition); that
+    shuffles matched ids once and is documented as the slower variant.
     """
+    if how == "left":
+        if exact == "pip":
+            matched = pip_join(items, cover, exact="pip", how="inner")
+            unmatched = items.join(
+                matched.select("id").distinct(), "id", "left_anti"
+            ).withColumn("collection_id", F.lit(None).cast("string"))
+            return matched.unionByName(unmatched)
+        it, cv = items.alias("it"), cover.alias("cv")
+        cond = F.col("it.cell_grid") == F.col("cv.cell_grid")
+        if exact == "rect":
+            cond = (
+                cond
+                & (F.col("it.lon") >= F.col("cv.f_lon_min"))
+                & (F.col("it.lon") <= F.col("cv.f_lon_max"))
+                & (F.col("it.lat") >= F.col("cv.f_lat_min"))
+                & (F.col("it.lat") <= F.col("cv.f_lat_max"))
+            )
+        j = it.join(F.broadcast(cv), cond, "left")
+        return j.select("it.*", F.col("cv.collection_id").alias("collection_id"))
     j = items.join(F.broadcast(cover), "cell_grid")
     if exact == "rect":
         j = j.filter(

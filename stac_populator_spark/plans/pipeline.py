@@ -30,13 +30,21 @@ from ..sources.checkpoint import CheckpointedPipeline
 
 
 def build_items(pages: DataFrame, cover: DataFrame, exact: str = "rect",
-                tile_z: int = 7) -> DataFrame:
+                tile_z: int = 7, how: str = "left") -> DataFrame:
     """pages → STAC items with cells, collection match and tile id (the
-    narrow+broadcast portion — no fact-side shuffle anywhere)."""
+    narrow+broadcast portion — no fact-side shuffle anywhere).
+
+    ``how='left'`` (default): the full corpus flows through — null-geometry
+    pages and footprint-unmatched pages pass as valid items with a null
+    collection (reference tolerates null geometry, collection_update.py:
+    45-48), so items+errors always account for every input page.
+    ``how='inner'``: the round-1 behavior (only footprint-matched items).
+    """
     items = extract_items(pages)
     items = encode_cells(items)
-    geo = items.filter(items.lon.isNotNull())
-    joined = pip_join(geo, cover, exact=exact)
+    if how == "inner":
+        items = items.filter(items.lon.isNotNull())
+    joined = pip_join(items, cover, exact=exact, how=how)
     tiled = assign_items_to_tiles(joined, z=tile_z)
     return stac_item_json(tiled)
 
@@ -74,12 +82,15 @@ def run_pipeline(
         tagged = cp.run_stage("extracted", build_tagged)
         items = tagged.filter(F.col("failure_reason").isNull()).drop("failure_reason")
         errors = tagged.filter(F.col("failure_reason").isNotNull())
-        collections = cp.run_stage("collections", lambda: collection_extent(items))
+        # collection extents aggregate only footprint-matched items; the
+        # null-collection (geometry-less / unmatched) items stay in `items`
+        in_collection = items.filter(F.col("collection_id").isNotNull())
+        collections = cp.run_stage("collections", lambda: collection_extent(in_collection))
         metrics = cp.stage_metrics()
     else:
         tagged = build_tagged()
         items = tagged.filter(F.col("failure_reason").isNull()).drop("failure_reason")
         errors = tagged.filter(F.col("failure_reason").isNotNull())
-        collections = collection_extent(items)
+        collections = collection_extent(items.filter(F.col("collection_id").isNotNull()))
         metrics = {}
     return {"items": items, "collections": collections, "errors": errors, "metrics": metrics}

@@ -67,9 +67,13 @@ def stream_collection_counts(
     the streaming analogue of the reference's during-ingest collection
     update (populators.py:253-255, 302-305). Returns a streaming query
     writing to an in-memory table named 'collection_counts'."""
+    from pyspark.sql import functions as F
+
     from ..operators.collection_agg import collection_extent
 
-    items = build_items(pages_stream, cover)
+    # extents aggregate only footprint-matched items (same rule as the
+    # batch run_pipeline); null-collection items still flow to the sink
+    items = build_items(pages_stream, cover).filter(F.col("collection_id").isNotNull())
     agg = collection_extent(items)
     return (
         agg.writeStream.format("memory")

@@ -74,6 +74,38 @@ def test_knn_exact_equals_bruteforce_with_isolated_points(spark):
     assert key(ring_only) != key(brute)
 
 
+def test_knn_exact_equals_bruteforce_across_antimeridian(spark):
+    from stac_populator_spark.operators.knn import knn_join_exact
+
+    # cluster straddling lon=±180: true nearest neighbors cross the seam,
+    # which the unwrapped hex grid never sees — exact variant must route
+    # these through the brute-force pass (ADVICE r1, knn.py:181)
+    rng = np.random.default_rng(11)
+    rows = []
+    i = 0
+    for side in (179.7, -179.7):
+        for _ in range(15):
+            rows.append(
+                (f"am{i:04d}", float(((side + rng.normal(0, 0.15) + 180) % 360) - 180),
+                 float(10.0 + rng.normal(0, 0.15)))
+            )
+            i += 1
+    # plus a polar cluster (lon metric degenerates near the pole)
+    for _ in range(10):
+        rows.append((f"po{i:04d}", float(rng.uniform(-180, 180)), float(89.6 + rng.normal(0, 0.1))))
+        i += 1
+    # and a normal mid-lon cluster as control
+    for _ in range(15):
+        rows.append((f"ct{i:04d}", float(2.3 + rng.normal(0, 0.2)), float(48.8 + rng.normal(0, 0.2))))
+        i += 1
+    pts = spark.createDataFrame(pd.DataFrame(rows, columns=["id", "lon", "lat"]))
+
+    exact = knn_join_exact(pts, k=3, res=4, radius=1).collect()
+    brute = knn_bruteforce(pts, k=3).collect()
+    key = lambda rs: sorted((r["id"], r["rank"], r["neighbor_id"]) for r in rs)
+    assert key(exact) == key(brute)
+
+
 def test_knn_bruteforce_numpy_oracle(spark, clustered_points):
     pdf = clustered_points.toPandas()
     got = knn_bruteforce(clustered_points, k=1).collect()

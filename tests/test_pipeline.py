@@ -126,12 +126,19 @@ def test_stac_json_valid(spark, pages, fps):
     out = build_items(pages, cover).select("stac_json", "crosses_am").collect()
     assert len(out) > 0
     n_multi = 0
+    n_nogeo = 0
     for r in out:
         doc = json.loads(r["stac_json"])  # must parse
         assert doc["type"] == "Feature"
         assert doc["stac_version"] == "1.0.0"
-        assert isinstance(doc["bbox"], list) and len(doc["bbox"]) == 4
         geom = doc["geometry"]
+        if geom is None:
+            # corpus-complete: geometry-less pages flow through as valid
+            # null-geometry items (reference collection_update.py:45-48)
+            n_nogeo += 1
+            assert "bbox" not in doc and "collection" not in doc
+            continue
+        assert isinstance(doc["bbox"], list) and len(doc["bbox"]) == 4
         assert geom["type"] in ("Polygon", "MultiPolygon")
         if geom["type"] == "MultiPolygon":
             n_multi += 1
@@ -147,6 +154,19 @@ def test_stac_json_valid(spark, pages, fps):
         props = doc["properties"]
         assert "page:language" in props
         assert doc["assets"]["source"]["href"].startswith("https://")
+    assert n_nogeo > 0  # ~20% of pages have no geo and must still appear
+
+
+def test_pipeline_accounts_for_full_corpus(spark, pages, fps):
+    # every input page appears exactly once in items ∪ errors (per matched
+    # collection for multi-footprint matches, but never silently dropped)
+    out = run_pipeline(spark, pages, fps)
+    urls_in = {r["url"] for r in pages.select("url").collect()}
+    urls_items = {r["url"] for r in out["items"].select("url").collect()}
+    urls_errors = {r["url"] for r in out["errors"].select("url").collect()}
+    assert urls_items | urls_errors == urls_in
+    # null-geometry and unmatched items are valid with null collection
+    assert out["items"].filter(F.col("collection_id").isNull()).count() > 0
 
 
 def test_antimeridian_items_exist(items):

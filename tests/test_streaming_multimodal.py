@@ -78,7 +78,9 @@ def test_stream_collection_counts(spark, tmp_path, cover):
     from stac_populator_spark.operators.collection_agg import collection_extent
     from stac_populator_spark.plans.pipeline import build_items
 
-    batch = collection_extent(build_items(spark.read.parquet(src), cover))
+    batch = collection_extent(
+        build_items(spark.read.parquet(src), cover).filter(F.col("collection_id").isNotNull())
+    )
     key = lambda df: sorted(
         (r["collection_id"], r["item_count"], tuple(r["bbox"])) for r in df.collect()
     )
