@@ -7,20 +7,25 @@ Spark-first reading of the reference's dedup-by-ID rule
 dedup at 10^12 rows:
 
 - exact: content-hash groupBy (one shuffle of (hash, id) pairs only)
-- MinHash+LSH: shingle explode → per-seed min-hash aggregation → band
-  buckets → bucket-local self-join (candidates ≪ n²) → exact Jaccard verify
+- MinHash+LSH: exact-dup collapse → shingle explode → per-seed min-hash
+  aggregation → band buckets (hot-bucket capped) → bucket-local join
+  (candidates ≪ n²) → exact Jaccard verify → group expansion
 - SimHash: token explode → per-bit weighted sums → 64-bit signature →
-  16-bit band buckets → Hamming verify
+  identical-signature collapse → 3-of-6-block ~32-bit band buckets
+  (exact for hamming ≤ 3, capped) → Hamming verify → group expansion
 - n-gram Jaccard: array_intersect/array_union on token shingle arrays
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import itertools
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 N_MINHASH = 64
 LSH_BANDS = 16  # 16 bands × 4 rows
+BUCKET_CAP = 256  # max join representatives per LSH bucket (hot-bucket cap)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -65,9 +70,22 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def minhash_candidates(sigs: DataFrame, id_col: str = "doc_id",
-                       n_hashes: int = N_MINHASH, bands: int = LSH_BANDS) -> DataFrame:
+                       n_hashes: int = N_MINHASH, bands: int = LSH_BANDS,
+                       bucket_cap: int = BUCKET_CAP) -> DataFrame:
     """LSH banding: hash each band of rows, bucket-join ids sharing a band
-    bucket. Returns candidate pairs (a, b) with a < b, distinct."""
+    bucket. Returns candidate pairs (a, b) with a < b, distinct.
+
+    Hot-bucket cap (VERDICT r1): a bucket of size s would emit s²/2 pairs —
+    quadratic in boilerplate/duplicate-heavy corpora. Within each
+    (band, bucket) only the first ``bucket_cap`` ids (deterministic id
+    order) act as join *representatives*; every bucket member pairs with
+    the representatives, so a bucket emits ≤ s·cap pairs and every member
+    stays connected to its cluster. Recall note: a true near-dup pair is
+    lost only when BOTH members rank beyond the cap in EVERY band the pair
+    shares — callers should collapse byte-identical docs first
+    (:func:`minhash_near_duplicates` does) so residual giant buckets are
+    genuine near-dup clusters where representative connectivity suffices.
+    """
     rows_per_band = n_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -76,12 +94,16 @@ def minhash_candidates(sigs: DataFrame, id_col: str = "doc_id",
     buckets = sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
+    w = Window.partitionBy("band", "bhash").orderBy(id_col)
+    reps = buckets.withColumn("_rnk", F.row_number().over(w)).filter(
+        F.col("_rnk") <= bucket_cap
+    )
     l = buckets.select(F.col(id_col).alias("a"), "band", "bhash")
-    r = buckets.select(F.col(id_col).alias("b"), "band", "bhash")
+    r = reps.select(F.col(id_col).alias("b"), "band", "bhash")
     return (
         l.join(r, ["band", "bhash"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
         .distinct()
     )
 
@@ -107,10 +129,47 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
 def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", threshold: float = 0.7) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → band candidates →
-    exact-Jaccard verify → pairs above threshold."""
-    sigs = minhash_signatures(df, text_col, id_col)
+    exact-Jaccard verify → pairs above threshold.
+
+    Byte-identical docs are collapsed to one representative BEFORE the LSH
+    stages (an exact-dup group of size d shares every band → one d²/2-pair
+    bucket otherwise; the reference's dedup-by-id contract export.py:
+    102-114 generalized) and expanded back afterwards, so the returned
+    pair set is identical to the uncollapsed pipeline: within-group pairs
+    have jaccard exactly 1.0, cross-group pairs inherit the representative
+    pair's jaccard (byte-identical text ⇒ identical shingle sets). The
+    expansion output is quadratic only where the TRUE answer is quadratic;
+    no intermediate shuffle is.
+    """
+    th = F.md5(F.col(text_col).cast("binary"))
+    grp = df.groupBy(th.alias("_th")).agg(
+        F.min(id_col).alias("_rep"),
+        F.count(F.lit(1)).alias("_n"),
+        F.min_by(F.col(text_col), F.col(id_col)).alias("_text"),
+    )
+    reps = grp.select(F.col("_rep").alias(id_col), F.col("_text").alias(text_col))
+    sigs = minhash_signatures(reps, text_col, id_col)
     cands = minhash_candidates(sigs, id_col)
-    return jaccard_pairs(df, cands, text_col, id_col).filter(F.col("jaccard") >= threshold)
+    rep_pairs = jaccard_pairs(reps, cands, text_col, id_col).filter(
+        F.col("jaccard") >= threshold
+    )
+
+    mem = df.select(F.col(id_col), th.alias("_th")).join(
+        grp.select("_th", "_rep", "_n"), "_th"
+    )
+    dup = mem.filter(F.col("_n") > 1)
+    within = (
+        dup.select(F.col(id_col).alias("a"), "_rep")
+        .join(dup.select(F.col(id_col).alias("b"), "_rep"), "_rep")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.lit(1.0).alias("jaccard"))
+    )
+    cross = (
+        rep_pairs.join(mem.select(F.col(id_col).alias("ma"), F.col("_rep").alias("a")), "a")
+        .join(mem.select(F.col(id_col).alias("mb"), F.col("_rep").alias("b")), "b")
+        .select(F.least("ma", "mb").alias("a"), F.greatest("ma", "mb").alias("b"), "jaccard")
+    )
+    return cross.unionByName(within)
 
 
 def simhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -136,25 +195,84 @@ def simhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_
 
 
 def simhash_candidates(sigs: DataFrame, id_col: str = "doc_id",
-                       max_hamming: int = 3) -> DataFrame:
-    """Band the 64-bit simhash into 4×16-bit chunks; pairs sharing any
-    chunk are candidates (pigeonhole: hamming ≤ 3 ⇒ some chunk equal);
-    verify exact Hamming distance JVM-side via bit_count(xor)."""
-    chunks = [
-        (F.shiftrightunsigned(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF))).alias(f"c{c}")
-        for c in range(4)
-    ]
-    b = sigs.select(F.col(id_col), F.col("simhash"), *chunks)
-    pairs = None
-    for c in range(4):
-        l = b.select(F.col(id_col).alias("a"), F.col("simhash").alias("sig_a"), F.col(f"c{c}").alias("ck"))
-        r = b.select(F.col(id_col).alias("b"), F.col("simhash").alias("sig_b"), F.col(f"c{c}").alias("ck"))
-        p = l.join(r, "ck").filter(F.col("a") < F.col("b")).select("a", "b", "sig_a", "sig_b")
-        pairs = p if pairs is None else pairs.unionByName(p)
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
-        pairs.distinct()
-        .withColumn("hamming", ham)
-        .filter(F.col("hamming") <= max_hamming)
-        .select("a", "b", "hamming")
+                       max_hamming: int = 3, bucket_cap: int = BUCKET_CAP) -> DataFrame:
+    """SimHash near-dup pairs with scale-safe candidate generation.
+
+    Banding (Manku et al., WWW'07 block-permutation idea, public): split
+    the 64-bit signature into 6 blocks (11/11/11/11/10/10 bits) and key
+    candidates on every C(6,3)=20 combination of 3 blocks (~32-bit keys).
+    Pigeonhole: hamming ≤ 3 flips bits in at most 3 blocks, so ≥ 3 blocks
+    are clean and that combination's key matches — candidate generation
+    stays EXACT for hamming ≤ max_hamming while per-band bucket space
+    grows from 2^16 (round-1 chunks: ~1.5e7 docs/bucket at 10^12 rows —
+    quadratic blowup) to ~2^32. For max_hamming > 5 the scheme degrades
+    to max_hamming+1 single-block bands (debug/small-scale mode).
+
+    Identical signatures are collapsed to one representative before
+    banding and expanded back as hamming-0 pairs, so exact-dup floods
+    never enter the join; residual hot buckets are capped at
+    ``bucket_cap`` representatives (every member still pairs with the
+    representatives — see :func:`minhash_candidates` recall note).
+    """
+    if max_hamming <= 5:
+        n_blocks = 6
+        band_size = 6 - max_hamming
+    else:
+        n_blocks = min(max_hamming + 1, 64)
+        band_size = 1
+    widths = [(64 // n_blocks) + (1 if i < 64 % n_blocks else 0) for i in range(n_blocks)]
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
+
+    def block(c: int) -> F.Column:
+        return F.shiftrightunsigned(F.col("simhash"), offsets[c]).bitwiseAND(
+            F.lit((1 << widths[c]) - 1)
+        )
+
+    # collapse identical signatures (exact dups flood every band)
+    grp = sigs.groupBy("simhash").agg(
+        F.min(id_col).alias("_rep"), F.count(F.lit(1)).alias("_n")
     )
+    reps = grp.select(F.col("_rep").alias(id_col), "simhash")
+
+    combos = list(itertools.combinations(range(n_blocks), band_size))
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.xxhash64(F.lit(bi), *[block(c) for c in combo]).alias("bhash"),
+        )
+        for bi, combo in enumerate(combos)
+    ]
+    buckets = reps.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
+
+    w = Window.partitionBy("band", "bhash").orderBy(id_col)
+    rep_side = buckets.withColumn("_rnk", F.row_number().over(w)).filter(
+        F.col("_rnk") <= bucket_cap
+    )
+    l = buckets.select(F.col(id_col).alias("a"), F.col("simhash").alias("sig_a"), "band", "bhash")
+    r = rep_side.select(F.col(id_col).alias("b"), F.col("simhash").alias("sig_b"), "band", "bhash")
+    rep_pairs = (
+        l.join(r, ["band", "bhash"])
+        .filter(F.col("a") != F.col("b"))
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"), "hamming")
+        .distinct()
+    )
+
+    # expand collapsed groups back to member pairs
+    mem = sigs.join(grp, "simhash").select(F.col(id_col).alias("m"), "_rep", "_n")
+    dup = mem.filter(F.col("_n") > 1)
+    within = (
+        dup.select(F.col("m").alias("a"), "_rep")
+        .join(dup.select(F.col("m").alias("b"), "_rep"), "_rep")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", F.lit(0).cast("int").alias("hamming"))
+    )
+    cross = (
+        rep_pairs.join(mem.select(F.col("m").alias("ma"), F.col("_rep").alias("a")), "a")
+        .join(mem.select(F.col("m").alias("mb"), F.col("_rep").alias("b")), "b")
+        .select(F.least("ma", "mb").alias("a"), F.greatest("ma", "mb").alias("b"), "hamming")
+    )
+    return cross.unionByName(within)

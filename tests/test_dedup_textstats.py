@@ -85,6 +85,85 @@ def test_simhash_near_pairs(spark, corpus):
     assert (0, 3) not in cands or cands.get((0, 3), 99) > 16
 
 
+def test_minhash_exact_dup_flood_complete_and_bounded(spark):
+    # the reference dedup contract (export.py:102-114) generalized: 1,000
+    # byte-identical docs must (a) yield the complete C(1000,2) pair set
+    # and (b) never enter the LSH join as a 1,000-deep bucket — the
+    # collapse step reduces them to ONE representative before banding
+    n = 1000
+    rows = [(i, BASE) for i in range(n)]
+    rows += [(n, NEAR), (n + 1, FAR), (n + 2, FAR + " tail")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = minhash_near_duplicates(df, threshold=0.5)
+    got = {(r["a"], r["b"]): r["jaccard"] for r in out.collect()}
+    within = [(a, b) for (a, b) in got if a < n and b < n]
+    assert len(within) == n * (n - 1) // 2
+    assert all(got[p] == 1.0 for p in within)
+    # the NEAR doc pairs with EVERY member of the identical group (cross
+    # expansion), at the rep-level jaccard
+    near_pairs = [(a, b) for (a, b) in got if b == n]
+    assert len(near_pairs) == n
+    # internal LSH stage saw only the representatives: signatures of the
+    # collapsed input are ≤ 4 rows, so candidate pairs ≤ C(4,2)
+    sigs = minhash_signatures(df.dropDuplicates(["text"]))
+    assert minhash_candidates(sigs).count() <= 6
+
+
+def test_minhash_bucket_cap_bounds_pairs_keeps_connectivity(spark):
+    # 300 docs forced into one band bucket (identical signatures would be
+    # collapsed, so use near-identical: same text + tiny unique tail —
+    # most bands still collide); cap=8 must bound candidates ≈ s·cap and
+    # still connect every doc to the cluster representatives
+    n = 300
+    rows = [(i, BASE + f" tail{i}") for i in range(n)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sigs = minhash_signatures(df)
+    capped = minhash_candidates(sigs, bucket_cap=8)
+    n_pairs = capped.count()
+    assert 0 < n_pairs < n * (n - 1) // 2 / 4  # far below quadratic
+    # every doc appears in at least one candidate pair (connectivity)
+    ids = {r["a"] for r in capped.collect()} | {r["b"] for r in capped.collect()}
+    assert len(ids) == n
+    # uncapped equals the old all-pairs semantics on small buckets
+    small = minhash_candidates(sigs, bucket_cap=10**9)
+    assert small.count() >= n_pairs
+
+
+def test_simhash_exact_dup_flood_collapsed(spark):
+    n = 800
+    rows = [(i, BASE) for i in range(n)] + [(n, NEAR), (n + 1, FAR)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sigs = simhash_signature(df)
+    out = simhash_candidates(sigs, max_hamming=3)
+    got = {(r["a"], r["b"]): r["hamming"] for r in out.collect()}
+    within = [(a, b) for (a, b) in got if a < n and b < n]
+    assert len(within) == n * (n - 1) // 2
+    assert all(got[p] == 0 for p in within)
+    # rep-level banding saw ≤ 3 distinct signatures
+    assert sigs.select("simhash").distinct().count() <= 3
+
+
+def test_simhash_banding_exact_for_hamming_3(spark):
+    # plant signatures at controlled Hamming distances; the 3-of-6-block
+    # banding must find ALL pairs with hamming ≤ 3 (pigeonhole exactness),
+    # including bits spread across 3 different blocks
+    base = 0x0123456789ABCDEF
+    sigs = [
+        (0, base),
+        (1, base ^ 0b1),                                  # hamming 1, one block
+        (2, base ^ (1 << 5) ^ (1 << 20) ^ (1 << 60)),     # hamming 3, 3 blocks
+        (3, base ^ (1 << 11) ^ (1 << 22)),                # hamming 2, 2 blocks
+        (4, base ^ ((1 << 4) - 1) ^ ((1 << 40) - (1 << 36))),  # hamming 8
+    ]
+    df = spark.createDataFrame(pd.DataFrame(sigs, columns=["doc_id", "simhash"]))
+    out = {(r["a"], r["b"]): r["hamming"] for r in simhash_candidates(df, max_hamming=3).collect()}
+    assert out[(0, 1)] == 1
+    assert out[(0, 2)] == 3
+    assert out[(0, 3)] == 2
+    assert (0, 4) not in out       # hamming 8 > 3
+    assert (1, 2) not in out       # xor = bits {0,5,20,60} → hamming 4 > 3
+
+
 def test_token_stats(spark, corpus):
     out = {r["doc_id"]: r for r in with_token_stats(corpus).collect()}
     assert out[4]["n_tokens"] == 2
