@@ -477,22 +477,34 @@ def _events_pivot(spark, sf_dir):
 # --- rows-only (non-SQL-expressible) ---
 
 def _ivf_cosine(spark, sf_dir):
+    """IVF with full probe (n_probe = k_centroids): must equal brute-force
+    top-k EXACTLY — verifies the cluster-assignment + inverted-list-union
+    machinery loses nothing (a wrong assignment or dropped list breaks it).
+    Pruned-probe recall (n_probe < k) is pytest-verified
+    (tests/test_dedup_textstats.py::test_ivf_topk_recall)."""
     from stac_populator_spark.operators.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
-    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk(emb, queries, k=5, n_probe=6, dim=64, k_centroids=16)
+    return ivf_topk(emb, queries, k=5, n_probe=16, dim=64, k_centroids=16)
 
 
 def _doc_fingerprints(spark, sf_dir):
-    from stac_populator_spark.operators.textstats import with_fingerprint, with_lang_id
+    """Whitespace-normalized md5 fingerprint (cross-engine-verifiable; the
+    xxhash64 rolling-hash variant stays the fast default in
+    textstats.with_fingerprint, pytest-pinned) + stopword-vote language ID."""
+    from stac_populator_spark.operators.textstats import with_lang_id
 
     d = _t(spark, sf_dir, "documents")
-    return with_lang_id(with_fingerprint(d)).select("doc_id", "fingerprint", "lang", "lang_pred")
+    norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    fp64 = F.conv(F.substring(F.md5(norm.cast("binary")), 1, 15), 16, 10).cast("long")
+    return with_lang_id(d).select(
+        "doc_id", fp64.alias("fp64"), "lang", "lang_pred"
+    )
 
 
 def _tile_pyramid(spark, sf_dir):
@@ -596,11 +608,63 @@ def _minhash_neardup(spark, sf_dir):
 
 
 def _simhash_pairs(spark, sf_dir):
-    from stac_populator_spark.operators.dedup import simhash_candidates, simhash_signature
+    """SimHash near-dup pairs over md5-bit signatures (cross-engine
+    verifiable — DuckDB mirrors the exact bit arithmetic); the banded
+    candidate join is pigeonhole-exact for hamming ≤ 3, so the result must
+    equal the oracle's brute-force all-pairs Hamming scan. The xxhash64
+    signature variant stays the fast default (pytest-pinned)."""
+    from stac_populator_spark.operators.dedup import simhash_candidates, simhash_signature_md5
 
     d = _t(spark, sf_dir, "documents")
-    sigs = simhash_signature(d)
+    sigs = simhash_signature_md5(d)
     return simhash_candidates(sigs, max_hamming=3)
+
+
+def _knn_exact_docs(spark, sf_dir):
+    """The provably-exact kNN variant (ring pass + per-point distance
+    guarantee + targeted brute-force redo, knn.py) vs the oracle's
+    haversine brute force."""
+    from stac_populator_spark.operators.knn import knn_join_exact
+
+    pts = _doc_points(_t(spark, sf_dir, "documents")).filter(F.col("doc_id") % 7 == 0)
+    out = knn_join_exact(pts.withColumnRenamed("doc_id", "id"), k=3, res=4, radius=1)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("neighbor_id"),
+        "rank",
+        F.round("dist_km", 3).alias("dist_km_r"),
+    )
+
+
+def _stac_valid_split(spark, sf_dir):
+    """Structural STAC validation gate (reference extensions/base.py:
+    107-125): required id, WGS84 ranges, bbox⇔geometry consistency,
+    datetime-vs-range exclusivity, plus a controlled-vocabulary check on
+    lang (reference CV validation, cmip6.py:47-67). Returns every doc with
+    its first failure_reason (null = valid)."""
+    from stac_populator_spark.operators.validate import cv_check, split_valid_invalid
+
+    d = _t(spark, sf_dir, "documents")
+    ts = F.expr("timestampadd(SECOND, doc_id*977, timestamp'2020-01-01 00:00:00')")
+    items = d.select(
+        F.when(F.col("doc_id") % 17 == 0, F.lit("")).otherwise(F.col("doc_id").cast("string")).alias("id"),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(-200.0)).otherwise(F.lit(0.0)).alias("lon_min"),
+        F.when(F.col("doc_id") % 19 == 0, F.lit(95.0)).otherwise(F.lit(0.0)).alias("lat_min"),
+        F.lit(1.0).alias("lon_max"),
+        F.lit(1.0).alias("lat_max"),
+        F.when(F.col("doc_id") % 29 != 0, F.lit('{"type":"Point"}')).alias("geometry"),
+        F.when(F.col("doc_id") % 31 != 0, F.array(F.lit(0.0), F.lit(0.0), F.lit(1.0), F.lit(1.0))).alias("bbox"),
+        F.when(F.col("doc_id") % 11 != 0, ts).alias("datetime"),
+        F.when(F.col("doc_id") % 7 == 0, ts).alias("start_datetime"),
+        F.col("doc_id"),
+        F.col("lang"),
+    )
+    valid, dead = split_valid_invalid(items, structural=True)
+    valid_tagged = valid.withColumn(
+        "failure_reason",
+        F.when(cv_check("lang", ("en", "es", "de", "fr", "pt", "ja", "ru")), F.lit("cv_lang")),
+    )
+    return valid_tagged.unionByName(dead).select("doc_id", "failure_reason")
 
 
 def _stac_flagship(spark, sf_dir):
@@ -656,7 +720,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup": _minhash_neardup,
         "simhash_pairs": _simhash_pairs,
         "stac_flagship": _stac_flagship,
+        "knn_exact_docs": _knn_exact_docs,
+        "stac_valid_split": _stac_valid_split,
     }
+
+
+def _simhash_oracle_sql() -> str:
+    """Brute-force SimHash mirror: identical md5-hex-digit bit arithmetic,
+    signatures as two 32-bit halves (DuckDB BIGINT can't shift to bit 63),
+    all-pairs Hamming ≤ 3 scan."""
+    sums = ",\n                 ".join(
+        f"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(hx, {i // 4 + 1}, 1)) - 1)"
+        f" // {2 ** (3 - i % 4)}) % 2 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(64)
+    )
+    lo = " + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i}::BIGINT ELSE 0 END)" for i in range(32))
+    hi = " + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << (i - 32)}::BIGINT ELSE 0 END)" for i in range(32, 64))
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, md5(unnest(string_split_regex(trim(text), '\\s+'))) AS hx
+          FROM documents
+        ), sums AS (
+          SELECT doc_id, {sums}
+          FROM toks GROUP BY doc_id
+        ), sig AS (
+          SELECT doc_id, {lo} AS lo, {hi} AS hi FROM sums
+        )
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               (bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)))::INT AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+    """
+
+
+_LANGS = {
+    "de": ["der", "die", "und", "das", "von", "zu", "den", "ist"],
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une"],
+    "ja": ["の", "に", "は", "を", "た", "が", "で", "て"],
+    "pt": ["o", "a", "de", "que", "e", "do", "da", "em"],
+    "ru": ["и", "в", "не", "на", "что", "с", "это", "как"],
+    "zh": ["的", "了", "是", "在", "我", "有", "和", "不"],
+}
+
+
+def _lang_pred_sql() -> str:
+    """Stopword-vote language ID mirror (textstats.with_lang_id): hits =
+    distinct stopwords present; argmax, tie → lexicographically first."""
+    hit_cols = ",\n                 ".join(
+        "length(list_intersect(toks, ["
+        + ", ".join(f"'{w}'" for w in ws)
+        + f"])) AS h_{lang}"
+        for lang, ws in sorted(_LANGS.items())
+    )
+    langs = sorted(_LANGS)
+    g = "greatest(" + ", ".join(f"h_{la}" for la in langs) + ")"
+    case = " ".join(f"WHEN h_{la} = g THEN '{la}'" for la in langs)
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, lang, text, string_split_regex(trim(text), '\\s+') AS toks
+          FROM documents
+        ), hits AS (
+          SELECT doc_id, lang, text, {hit_cols}
+          FROM toks
+        ), best AS (
+          SELECT *, {g} AS g FROM hits
+        )
+        SELECT doc_id,
+               ('0x' || substr(md5(regexp_replace(trim(text), '\\s+', ' ', 'g')), 1, 15))::BIGINT AS fp64,
+               lang,
+               CASE WHEN g <= 0 THEN 'unknown' {case} END AS lang_pred
+        FROM best
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -950,6 +1086,66 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
               FROM scored
             ) WHERE rank <= 5
+        """,
+        "ivf_cosine": """
+            WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id % 50 = 0),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     LIST_DOT_PRODUCT(q.qv, e.v)
+                       / (SQRT(LIST_DOT_PRODUCT(q.qv, q.qv)) * SQRT(LIST_DOT_PRODUCT(e.v, e.v))) AS cos
+              FROM emb e CROSS JOIN q
+            )
+            SELECT query_id, vec_id, ROUND(cos, 6) AS cos, rank FROM (
+              SELECT query_id, vec_id, cos, ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
+        "minhash_neardup": """
+            WITH sh AS (
+              SELECT doc_id,
+                     list_distinct([concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+                                    for i in range(1, greatest(length(toks)-2, 1)+1)]) AS s
+              FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+            ), p AS (
+              SELECT a.doc_id AS a, b.doc_id AS b,
+                     length(list_intersect(a.s, b.s))::DOUBLE
+                       / length(list_distinct(list_concat(a.s, b.s))) AS j
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            )
+            SELECT a, b, ROUND(j, 4) AS jaccard FROM p WHERE j >= 0.5
+        """,
+        "simhash_pairs": _simhash_oracle_sql(),
+        "doc_fingerprints": _lang_pred_sql(),
+        "knn_exact_docs": f"""
+            WITH pts AS (SELECT * FROM ({_DOC_POINTS_SQL}) WHERE doc_id % 7 = 0),
+            pairs AS (
+              SELECT a.doc_id AS doc_id, b.doc_id AS neighbor_id,
+                     6371.0088 * 2.0 * asin(sqrt(least(greatest(
+                       pow(sin((radians(b.lat) - radians(a.lat)) / 2.0), 2)
+                       + cos(radians(a.lat)) * cos(radians(b.lat))
+                         * pow(sin((radians(b.lon) - radians(a.lon)) / 2.0), 2),
+                     0.0), 1.0))) AS d_km
+              FROM pts a JOIN pts b ON a.doc_id <> b.doc_id
+            )
+            SELECT doc_id, neighbor_id, rank, ROUND(d_km, 3) AS dist_km_r FROM (
+              SELECT doc_id, neighbor_id, d_km, ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY d_km ASC, neighbor_id ASC) AS rank
+              FROM pairs
+            ) WHERE rank <= 3
+        """,
+        "stac_valid_split": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 17 = 0 THEN 'missing_id'
+                        WHEN doc_id % 13 = 0 THEN 'lon_out_of_range'
+                        WHEN doc_id % 19 = 0 THEN 'lat_out_of_range'
+                        WHEN (doc_id % 29 = 0) != (doc_id % 31 = 0) THEN 'bbox_geometry_mismatch'
+                        WHEN doc_id % 11 != 0 AND doc_id % 7 = 0 THEN 'datetime_and_range_both_set'
+                        WHEN doc_id % 11 = 0 AND doc_id % 7 != 0 THEN 'datetime_and_range_both_missing'
+                        WHEN lang NOT IN ('en','es','de','fr','pt','ja','ru') THEN 'cv_lang'
+                   END AS failure_reason
+            FROM documents
         """,
     }
 

@@ -194,6 +194,43 @@ def simhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     return sums.select(F.col(id_col), sig.alias("simhash"))
 
 
+def simhash_signature_md5(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Cross-engine-verifiable SimHash variant: token bit source = the md5
+    hex digest (identical bytes in every engine) instead of xxhash64
+    (Spark-only). Bit i of a token = bit (3 − i%4) of hex digit i//4.
+    Same per-bit ±1 majority and 64-bit assembly as
+    :func:`simhash_signature`; used by the driver oracle, where DuckDB
+    mirrors the exact same arithmetic."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
+    ).withColumn("hx", F.md5(F.col("tok").cast("binary")))
+    # 16 hex-digit values once (bits share them 4-ways; CSE-friendly)
+    for d in range(16):
+        toks = toks.withColumn(
+            f"v{d}",
+            (F.instr(F.lit("0123456789abcdef"), F.substring("hx", d + 1, 1)) - 1).cast("int"),
+        )
+    aggs = [
+        F.sum(
+            F.when(
+                F.shiftrightunsigned(F.col(f"v{i // 4}"), 3 - (i % 4)).bitwiseAND(F.lit(1)) == 1,
+                1,
+            ).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    sums = toks.groupBy(id_col).agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sums.select(F.col(id_col), sig.alias("simhash"))
+
+
 def simhash_candidates(sigs: DataFrame, id_col: str = "doc_id",
                        max_hamming: int = 3, bucket_cap: int = BUCKET_CAP) -> DataFrame:
     """SimHash near-dup pairs with scale-safe candidate generation.

@@ -13,9 +13,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-def _rules(items: DataFrame, require_datetime: bool):
+def _rules(items: DataFrame, require_datetime: bool, structural: bool = False):
     """Ordered (name, predicate) validity rules. WGS84 ranges mirror
-    check_wgs84_compliance (collection_update.py:18-40)."""
+    check_wgs84_compliance (collection_update.py:18-40); structural rules
+    mirror the reference's jsonschema/pystac item gate
+    (extensions/base.py:107-125, populators.py:169-172)."""
     rules = [
         ("missing_id", F.col("id").isNull() | (F.length("id") == 0)),
         (
@@ -31,6 +33,25 @@ def _rules(items: DataFrame, require_datetime: bool):
                | (F.col("lat_max") < -90) | (F.col("lat_max") > 90)),
         ),
     ]
+    cols = items.columns
+    if structural:
+        if "geometry" in cols and "bbox" in cols:
+            # STAC spec: bbox REQUIRED iff geometry is non-null
+            rules.append(
+                ("bbox_geometry_mismatch",
+                 F.col("geometry").isNotNull() != F.col("bbox").isNotNull())
+            )
+        if "datetime" in cols and "start_datetime" in cols:
+            # reference: properties.datetime null ⇔ start/end present
+            # (populators.py:169-172) — exactly one of the two forms
+            rules.append(
+                ("datetime_and_range_both_set",
+                 F.col("datetime").isNotNull() & F.col("start_datetime").isNotNull())
+            )
+            rules.append(
+                ("datetime_and_range_both_missing",
+                 F.col("datetime").isNull() & F.col("start_datetime").isNull())
+            )
     if require_datetime:
         has_start = (
             F.col("start_datetime").isNotNull()
@@ -41,16 +62,36 @@ def _rules(items: DataFrame, require_datetime: bool):
     return rules
 
 
-def split_valid_invalid(items: DataFrame, require_datetime: bool = False):
+def split_valid_invalid(items: DataFrame, require_datetime: bool = False,
+                        structural: bool = False):
     """Returns (valid, dead_letter). dead_letter carries failure_reason —
     the first failing rule, mirroring the reference's single logged error
-    per failed item."""
+    per failed item. ``structural=True`` adds the STAC structural gate
+    (bbox⇔geometry consistency, datetime-vs-range exclusivity)."""
     reason = F.lit(None).cast("string")
-    for name, rule in reversed(_rules(items, require_datetime)):
+    for name, rule in reversed(_rules(items, require_datetime, structural)):
         reason = F.when(rule, F.lit(name)).otherwise(reason)
     with_reason = items.withColumn("failure_reason", reason)
     valid = with_reason.filter(F.col("failure_reason").isNull()).drop("failure_reason")
     dead = with_reason.filter(F.col("failure_reason").isNotNull())
+    return valid, dead
+
+
+def cv_check(col: str, vocabulary: tuple | list) -> F.Column:
+    """Controlled-vocabulary predicate (the reference turns pyessv CV terms
+    into Literal types and rejects anything else — extensions/cmip6.py:
+    47-67, stac_utils.py:47-50). True = violation: non-null value outside
+    the vocabulary. CVs are small (tens–hundreds of terms) → a literal
+    isin, whole-stage codegen, no join."""
+    return F.col(col).isNotNull() & ~F.col(col).isin(list(vocabulary))
+
+
+def split_by_cv(items: DataFrame, col: str, vocabulary: tuple | list):
+    """(valid, dead_letter) on a controlled-vocabulary column; dead rows
+    carry failure_reason 'cv_<col>'."""
+    bad = cv_check(col, vocabulary)
+    valid = items.filter(~bad)
+    dead = items.filter(bad).withColumn("failure_reason", F.lit(f"cv_{col}"))
     return valid, dead
 
 
