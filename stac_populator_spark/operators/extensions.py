@@ -28,8 +28,9 @@ SERVICE_MEDIA_TYPES = {
     "ncml": "application/xml",
     "wcs": "application/xml",
     "wms": "application/xml",
-    "netcdfsubsetgrid": "text/html",
-    "netcdfsubsetpoint": "text/html",
+    "netcdfsubset": "application/x-netcdf",
+    "netcdfsubsetgrid": "application/x-netcdf",
+    "netcdfsubsetpoint": "application/x-netcdf",
 }
 SERVICE_ROLES = {
     "httpserver": ["data"],
@@ -37,8 +38,28 @@ SERVICE_ROLES = {
     "ncml": ["metadata"],
     "wcs": ["data"],
     "wms": ["visual"],
+    "netcdfsubset": ["data"],
     "netcdfsubsetgrid": ["data"],
     "netcdfsubsetpoint": ["data"],
+}
+
+# canonical asset keys (ServiceType enum values, stac_utils.py:315-345) —
+# the reference keys assets by ServiceType(<svc>).value, so 'OPENDAP' in
+# access_urls becomes asset key 'OpenDAP'
+SERVICE_CANONICAL = {
+    "httpserver": "HTTPServer",
+    "opendap": "OpenDAP",
+    "ncml": "NcML",
+    "wcs": "WCS",
+    "wms": "WMS",
+    "netcdfsubset": "NetcdfSubset",
+    "netcdfsubsetgrid": "NetcdfSubsetGrid",
+    "netcdfsubsetpoint": "NetcdfSubsetPoint",
+    "dap4": "DAP4",
+    "dods": "DODS",
+    "iso": "ISO",
+    "uddc": "UDDC",
+    "catalog": "Catalog",
 }
 
 
