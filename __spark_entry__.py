@@ -1135,6 +1135,49 @@ def oracle_sql() -> dict[str, str]:
               FROM pairs
             ) WHERE rank <= 3
         """,
+        # byte-exact JSON mirror: DuckDB's DOUBLE::VARCHAR and Spark's
+        # to_json both print shortest-roundtrip decimals (verified for the
+        # full value range here: |coord| ∈ [0.05, 180) — no E-notation
+        # divergence), and summary lists are sorted-distinct both sides
+        "stac_collections": f"""
+            WITH matched AS (
+              SELECT p.doc_id, collection_id, lon, lat
+              FROM ({_DOC_POINTS_SQL}) p
+              JOIN ({_FOOTPRINTS_SQL}) f
+                ON p.lon >= f.f_lon_min AND p.lon <= f.f_lon_max
+               AND p.lat >= f.f_lat_min AND p.lat <= f.f_lat_max
+            ), items AS (
+              SELECT m.*, {_DOC_TS_SQL} AS ts, d.lang, d.source
+              FROM matched m JOIN documents d USING (doc_id)
+            ), agg AS (
+              SELECT collection_id,
+                     MIN(lon) AS lon_min, MIN(lat) AS lat_min,
+                     MAX(lon) AS lon_max, MAX(lat) AS lat_max,
+                     CASE WHEN BOOL_OR(ts IS NULL) THEN NULL
+                          ELSE STRFTIME(MIN(ts), '%Y-%m-%dT%H:%M:%SZ') END AS t0,
+                     CASE WHEN BOOL_OR(ts IS NULL) THEN NULL
+                          ELSE STRFTIME(MAX(ts), '%Y-%m-%dT%H:%M:%SZ') END AS t1,
+                     COUNT(*) AS item_count,
+                     list_sort(list_distinct(list(lang))) AS langs,
+                     list_sort(list_distinct(list(source))) AS srcs
+              FROM items GROUP BY collection_id
+            )
+            SELECT collection_id, item_count,
+                   '{{"type":"Collection","stac_version":"1.0.0","id":"' || collection_id
+                   || '","title":"' || collection_id
+                   || '","description":"Collection ' || collection_id
+                   || '","license":"proprietary","keywords":[],"extent":{{"spatial":{{"bbox":[['
+                   || lon_min::VARCHAR || ',' || lat_min::VARCHAR || ','
+                   || lon_max::VARCHAR || ',' || lat_max::VARCHAR
+                   || ']]}},"temporal":{{"interval":[['
+                   || COALESCE('"' || t0 || '"', 'null') || ','
+                   || COALESCE('"' || t1 || '"', 'null')
+                   || ']]}}}},"custom:item_count":' || item_count::VARCHAR
+                   || ',"summaries":{{"lang":["' || array_to_string(langs, '","')
+                   || '"],"source":["' || array_to_string(srcs, '","')
+                   || '"]}}}}' AS stac_collection_json
+            FROM agg
+        """,
         "stac_valid_split": """
             SELECT doc_id,
                    CASE WHEN doc_id % 17 = 0 THEN 'missing_id'

@@ -1,0 +1,238 @@
+"""Icosahedral gnomonic aperture-7 hexagonal index (true sphere geometry,
+pure numpy) — the engine's H3-res-7-class cell index.
+
+The north_star names H3 res-7. The public H3 *algorithm* is: project the
+point gnomonically onto its nearest icosahedron face, bin the face plane
+with a hexagonal lattice whose edge shrinks by √7 per resolution with a
+±asin(√(3/28)) (~19.107°) lattice rotation per step (aperture-7
+substitution), then encode (face, hex) into a 64-bit id. This module
+implements exactly that structure:
+
+- a true icosahedron (vertices from the golden-ratio construction,
+  rotated so face 0's center sits on the +z axis) — NO equirectangular
+  plane, so there is no antimeridian seam and no polar degeneracy: every
+  point on the sphere lands in exactly one face's gnomonic plane;
+- per-face orthonormal tangent bases; gnomonic forward/inverse;
+- axial hex binning at H3's res-7 mean edge scale (≈1.22 km), aperture-7
+  rotation per resolution;
+- id layout ``[res:4 @55][face:5 @50][q+2^24:25 @25][r+2^24:25 @0]``;
+- k-ring that re-indexes each neighbor's *unprojected sphere center*, so
+  rings cross face boundaries correctly (a neighbor on an adjacent face
+  gets that face's id).
+
+Honest parity note: ids are NOT bit-identical to Uber H3 ids — matching
+them requires H3's published orientation constants and base-cell tables
+(faceCenterGeo / faceIjkBaseCells / baseCellData), which are data, not
+algorithm, and are not available in this sandbox to transcribe reliably.
+Everything the engine needs from H3 — seam-free equal-area-ish cells,
+hierarchy, neighborhoods — is provided by the same math H3 uses; a real
+``h3`` wheel drops in behind the same three functions.
+
+Distortion bound (documented, tested): gnomonic area distortion within a
+face is ≤ sec³(θ) of the angle from face center; the icosahedron face
+circumradius is ~37.38°, so cell areas vary ≤ ~2× across a face —
+comparable to H3's own published hex-area min/max spread.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# H3 res-7 mean hex edge ≈ 1.2207 km on a 6371.0088 km sphere.
+EDGE7_RAD = 1.2207 / 6371.0088
+_SQRT7 = 7.0 ** 0.5
+_SQRT3 = 3.0 ** 0.5
+_AP7_ROT = np.arcsin(np.sqrt(3.0 / 28.0))  # aperture-7 lattice rotation
+
+_OFFSET = np.int64(1) << np.int64(24)
+_R_SHIFT = np.int64(0)
+_Q_SHIFT = np.int64(25)
+_FACE_SHIFT = np.int64(50)
+_RES_SHIFT = np.int64(55)
+_MASK25 = (np.int64(1) << np.int64(25)) - np.int64(1)
+
+
+def _build_icosahedron():
+    """20 face centers + per-face orthonormal tangent bases, oriented with
+    face 0's center at the north pole (a documented, deterministic choice)."""
+    phi = (1.0 + 5.0 ** 0.5) / 2.0
+    verts = []
+    for a in (-1.0, 1.0):
+        for b in (-phi, phi):
+            verts += [(0, a, b), (a, b, 0), (b, 0, a)]
+    V = np.asarray(verts, dtype=np.float64)
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+
+    # faces = all vertex triples forming an equilateral spherical triangle
+    # with the minimal circumradius (i.e. mutually adjacent vertices)
+    dots = V @ V.T
+    adj_dot = np.sort(np.unique(np.round(dots, 9)))[-2]  # largest non-self dot
+    faces = []
+    n = len(V)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if abs(dots[i, j] - adj_dot) > 1e-9:
+                continue
+            for k in range(j + 1, n):
+                if abs(dots[i, k] - adj_dot) < 1e-9 and abs(dots[j, k] - adj_dot) < 1e-9:
+                    faces.append((i, j, k))
+    assert len(faces) == 20, f"expected 20 faces, got {len(faces)}"
+
+    centers = np.stack([V[list(f)].mean(axis=0) for f in faces])
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+
+    # rotate the whole solid so centers[0] → +z (north pole): fully
+    # determined, no reflection ambiguity (Rodrigues rotation)
+    c0 = centers[0]
+    z = np.array([0.0, 0.0, 1.0])
+    v = np.cross(c0, z)
+    s, c = np.linalg.norm(v), float(c0 @ z)
+    if s > 1e-12:
+        K = np.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]]) / s
+        R = np.eye(3) + K * s + K @ K * (1 - c)  # Rodrigues
+        centers = centers @ R.T
+        V = V @ R.T
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+
+    # per-face orthonormal basis: u toward the face's FIRST vertex
+    # (deterministic), v = n × u
+    us, vs = [], []
+    for fi, f in enumerate(faces):
+        nvec = centers[fi]
+        a = V[f[0]] - (V[f[0]] @ nvec) * nvec
+        a /= np.linalg.norm(a)
+        us.append(a)
+        vs.append(np.cross(nvec, a))
+    return centers, np.stack(us), np.stack(vs)
+
+
+_CENTERS, _US, _VS = _build_icosahedron()
+
+
+def _lonlat_to_xyz(lon_deg, lat_deg):
+    lon = np.radians(np.asarray(lon_deg, dtype=np.float64))
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    cl = np.cos(lat)
+    return np.stack([cl * np.cos(lon), cl * np.sin(lon), np.sin(lat)], axis=-1)
+
+
+def _xyz_to_lonlat(p):
+    p = np.asarray(p, dtype=np.float64)
+    lon = np.degrees(np.arctan2(p[..., 1], p[..., 0]))
+    lat = np.degrees(np.arcsin(np.clip(p[..., 2], -1.0, 1.0)))
+    return lon, lat
+
+
+def _res_basis(res: int):
+    """Hex lattice scale + rotation for a resolution (aperture-7 chain:
+    edge = EDGE7·√7^(7−res), rotation = res·19.107° — matching H3's
+    per-step Class II/III alternation in structure)."""
+    size = EDGE7_RAD * _SQRT7 ** (7 - res)
+    ang = res * _AP7_ROT
+    return size, np.cos(ang), np.sin(ang)
+
+
+def icosa_cell(lon_deg, lat_deg, res: int = 7) -> np.ndarray:
+    """Vectorized (lon°, lat°) → int64 icosahedral hex cell id at ``res``.
+    NaN coordinates → -1."""
+    x = np.atleast_1d(np.asarray(lon_deg, dtype=np.float64))
+    y = np.atleast_1d(np.asarray(lat_deg, dtype=np.float64))
+    nan = ~np.isfinite(x) | ~np.isfinite(y)
+    p = _lonlat_to_xyz(np.where(nan, 0.0, x), np.where(nan, 0.0, y))  # (N,3)
+
+    dots = p @ _CENTERS.T                      # (N,20)
+    face = np.argmax(dots, axis=1)             # nearest face center
+    d = np.take_along_axis(dots, face[:, None], axis=1)[:, 0]
+    g = p / d[:, None]                          # gnomonic: scale to face plane
+    u = np.einsum("nd,nd->n", g, _US[face])
+    v = np.einsum("nd,nd->n", g, _VS[face])
+
+    size, ca, sa = _res_basis(res)
+    ur = (ca * u + sa * v) / size
+    vr = (-sa * u + ca * v) / size
+
+    # pointy-top axial coords + cube rounding
+    qf = (_SQRT3 / 3.0) * ur - vr / 3.0
+    rf = (2.0 / 3.0) * vr
+    xf, zf = qf, rf
+    yf = -xf - zf
+    rx, ry, rz = np.round(xf), np.round(yf), np.round(zf)
+    dx, dy, dz = np.abs(rx - xf), np.abs(ry - yf), np.abs(rz - zf)
+    fix_x = (dx > dy) & (dx > dz)
+    fix_z = ~fix_x & (dz > dy)
+    rx = np.where(fix_x, -ry - rz, rx)
+    rz = np.where(fix_z, -rx - ry, rz)
+
+    q = rx.astype(np.int64) + _OFFSET
+    r = rz.astype(np.int64) + _OFFSET
+    cell = (
+        (np.int64(res) << _RES_SHIFT)
+        | (face.astype(np.int64) << _FACE_SHIFT)
+        | (q << _Q_SHIFT)
+        | r
+    )
+    return np.where(nan, np.int64(-1), cell)
+
+
+def icosa_components(cell):
+    c = np.atleast_1d(np.asarray(cell, dtype=np.int64))
+    res = (c >> _RES_SHIFT).astype(np.int64)
+    face = (c >> _FACE_SHIFT) & np.int64(31)
+    q = ((c >> _Q_SHIFT) & _MASK25) - _OFFSET
+    r = (c & _MASK25) - _OFFSET
+    return res, face, q, r
+
+
+def icosa_center(cell) -> tuple[np.ndarray, np.ndarray]:
+    """cell id → (lon°, lat°) of the hex center on the sphere."""
+    res, face, q, r = icosa_components(cell)
+    size, ca, sa = _res_basis(int(res[0]))
+    ur = size * (_SQRT3 * q + (_SQRT3 / 2.0) * r)
+    vr = size * (1.5 * r)
+    u = ca * ur - sa * vr
+    v = sa * ur + ca * vr
+    g = _CENTERS[face] + u[:, None] * _US[face] + v[:, None] * _VS[face]
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    return _xyz_to_lonlat(g)
+
+
+_AXIAL_DIRS = np.array(
+    [(1, 0), (1, -1), (0, -1), (-1, 0), (-1, 1), (0, 1)], dtype=np.int64
+)
+
+
+def _kring_offsets(radius: int) -> np.ndarray:
+    offs = []
+    for dq in range(-radius, radius + 1):
+        for dr in range(max(-radius, -dq - radius), min(radius, -dq + radius) + 1):
+            offs.append((dq, dr))
+    return np.asarray(offs, dtype=np.int64)
+
+
+def icosa_kring(cell, radius: int = 1) -> np.ndarray:
+    """(N,) cells → (N, M) neighbor ids, M = 1 + 3·radius·(radius+1).
+
+    Neighbor lattice positions are unprojected back to the sphere and
+    RE-INDEXED, so neighbors across an icosahedron edge land on the
+    adjacent face with that face's id (no seam holes). Near face corners
+    the distorted lattice can map two offsets to one cell — callers treat
+    the ring as a set (the kNN join dedups on the cell key anyway).
+    """
+    c = np.atleast_1d(np.asarray(cell, dtype=np.int64))
+    res, face, q, r = icosa_components(c)
+    size, ca, sa = _res_basis(int(res[0]))
+    offs = _kring_offsets(radius)                      # (M,2)
+    qn = q[:, None] + offs[None, :, 0]
+    rn = r[:, None] + offs[None, :, 1]
+    ur = size * (_SQRT3 * qn + (_SQRT3 / 2.0) * rn)   # (N,M)
+    vr = size * (1.5 * rn)
+    u = ca * ur - sa * vr
+    v = sa * ur + ca * vr
+    g = (
+        _CENTERS[face][:, None, :]
+        + u[..., None] * _US[face][:, None, :]
+        + v[..., None] * _VS[face][:, None, :]
+    )
+    g /= np.linalg.norm(g, axis=2, keepdims=True)
+    lon, lat = _xyz_to_lonlat(g.reshape(-1, 3))
+    return icosa_cell(lon, lat, int(res[0])).reshape(len(c), -1)

@@ -1,9 +1,13 @@
-"""Spatial cell-encoding stage: S2 level-12 + H3-res-7-compatible hex +
+"""Spatial cell-encoding stage: S2 level-12 + icosahedral hex res-7 +
 coarse join grid, in one Arrow pass (north_rule indexing requirement).
 
 Three index columns per item:
 - ``cell_s2``   — S2 level-12 id (functions.s2), the canonical spatial key
-- ``cell_hex``  — hex res-7 id (functions.hexgrid), used by kNN k-ring
+- ``cell_hex``  — icosahedral gnomonic aperture-7 hex res-7 id
+  (functions.icosa — the H3-class index: seam-free at ±180, no polar
+  degeneracy, near-equal-area). The kNN operator keeps its own
+  equirectangular hexgrid (functions.hexgrid) because its exact-variant
+  distance guarantee is derived on that plane.
 - ``cell_grid`` — coarse fixed grid (GRID_DEG°), the candidate key for the
   broadcast PIP join (footprint covers are tiny at this granularity)
 
@@ -20,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from ..functions.hexgrid import hex_cell
+from ..functions.icosa import icosa_cell
 from ..functions.s2 import s2_cell_id
 
 GRID_DEG = 4.0
@@ -51,7 +55,7 @@ def s2_cell_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
 
 @pandas_udf(T.LongType())
 def hex_cell_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
-    return pd.Series(hex_cell(lon.to_numpy(), lat.to_numpy(), HEX_RES))
+    return pd.Series(icosa_cell(lon.to_numpy(), lat.to_numpy(), HEX_RES))
 
 
 @pandas_udf(T.LongType())
@@ -76,7 +80,7 @@ def all_cells_udf(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(
         {
             "s2": s2_cell_id(lo, la, S2_LEVEL),
-            "hex": hex_cell(lo, la, HEX_RES),
+            "hex": icosa_cell(lo, la, HEX_RES),
             "grid": grid_cell_np(lo, la),
         }
     )

@@ -125,13 +125,65 @@ def _assign_udf(cents: np.ndarray, top_n: int = 1):
     return _udf_top
 
 
+def ivf_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k_centroids: int = 16,
+    sample_n: int = 20000,
+    iters: int = 12,
+    seed: int = 43,
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Train IVF centroids with spherical k-means on a deterministic corpus
+    sample (VERDICT r1: seeded-random centroids skew list sizes at scale).
+
+    Sampling is hash-deterministic (xxhash64(id) order, first ``sample_n``)
+    so retrains are reproducible; the sample is tiny relative to the corpus
+    (k-means on ≤~100k × dim floats is driver-trivial) while list-size
+    balance transfers because centroids follow the data density. k-means++
+    seeding, cosine metric (vectors and centroids L2-normalized).
+    """
+    sample = (
+        df.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col)).alias("h"))
+        .orderBy("h")
+        .limit(sample_n)
+        .toPandas()
+    )
+    X = np.stack(sample["v"].map(lambda v: np.asarray(v, dtype=np.float64)))
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+
+    # k-means++ init on cosine distance
+    cents = [X[rng.integers(len(X))]]
+    for _ in range(1, k_centroids):
+        d = 1.0 - np.max(np.stack([X @ c for c in cents]), axis=0)
+        d = np.maximum(d, 0.0)
+        p = d / d.sum() if d.sum() > 0 else None
+        cents.append(X[rng.choice(len(X), p=p)])
+    C = np.stack(cents)
+
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for k in range(k_centroids):
+            members = X[assign == k]
+            if len(members):
+                C[k] = members.mean(axis=0)
+            else:  # dead centroid → reseed at the farthest point
+                far = np.argmin(np.max(X @ C.T, axis=1))
+                C[k] = X[far]
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C
+
+
 def ivf_assign(df: DataFrame, vec_col: str = "embedding", dim: int = 64,
-               k_centroids: int = 16, seed: int = 43) -> DataFrame:
+               k_centroids: int = 16, seed: int = 43,
+               centroids: np.ndarray | None = None) -> DataFrame:
     """IVF coarse quantization: assign each vector to its nearest (by dot
-    product) of k seeded unit centroids. At scale the corpus would be
-    written partitioned/bucketed by ``ivf_cluster`` so probes touch only
-    matching partitions (partition pruning on the cluster column)."""
-    cents = _centroids(dim, k_centroids, seed)
+    product) of k unit centroids — trained (:func:`ivf_train`) when given,
+    else seeded-random. At scale the corpus would be written
+    partitioned/bucketed by ``ivf_cluster`` so probes touch only matching
+    partitions (partition pruning on the cluster column)."""
+    cents = centroids if centroids is not None else _centroids(dim, k_centroids, seed)
     return df.withColumn("ivf_cluster", _assign_udf(cents)(F.col(vec_col)))
 
 
@@ -146,12 +198,15 @@ def ivf_topk(
     dim: int = 64,
     k_centroids: int = 16,
     seed: int = 43,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF ANN: probe the query's n_probe nearest centroids' inverted
     lists only, exact cosine re-rank inside them. Probe cost ≈
-    n_probe/k_centroids of brute force; recall tested vs cosine_topk."""
-    cents = _centroids(dim, k_centroids, seed)
-    corpus_c = ivf_assign(corpus, vec_col, dim, k_centroids, seed)
+    n_probe/k_centroids of brute force; recall tested vs cosine_topk.
+    Pass ``centroids=ivf_train(corpus)`` for data-trained lists (balanced
+    at scale); default stays the seeded-random baseline."""
+    cents = centroids if centroids is not None else _centroids(dim, k_centroids, seed)
+    corpus_c = ivf_assign(corpus, vec_col, dim, k_centroids, seed, centroids=cents)
 
     q = queries.select(
         F.col(query_id_col),

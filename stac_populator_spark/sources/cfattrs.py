@@ -9,13 +9,18 @@ the engine's item model:
 - bbox/vertical from ``groups.CFMetadata.attributes.geospatial_*``
   (GeoData.from_ncattrs, stac_utils.py:140-181); values may be 1-element
   lists (numpy scalar leakage, stac_utils.py:254-273) — unwrapped;
-- longitudes in 0–360 convention are normalized to ±180
-  (lon > 180 → lon − 360), which can produce lon_min > lon_max — exactly
-  the reference's antimeridian-crossing state (stac_utils.py:183-186).
-  NOTE: the reference reprojects arbitrary CRSs via pyproj
-  (stac_utils.py:110-138); this sandbox has no pyproj wheel, so the
-  supported subset is WGS84-like/0-360 inputs — ``to_wgs84_fn`` is the
-  drop-in seam for a real pyproj transformer (import-try, same signature);
+- CRS precedence mirrors GeoData.from_ncattrs (stac_utils.py:144-162):
+  ``@stac-populator.force_crs`` > ``geospatial_bounds_crs`` >
+  ``@stac-populator.fallback_crs`` > default. Explicit CRSs go through
+  ``functions.crs.transform_to_wgs84`` (pure-numpy registry covering the
+  reference's tested transforms: 4326/4979 identity + axis order, 0-360
+  shifted-PRIMEM WKT, EPSG:4087 equidistant cylindrical, EPSG:3348
+  NAD83 Statistics Canada Lambert; unregistered CRSs → ``geo_error``,
+  the dead-letter path — and the seam where a pyproj transformer plugs
+  in). Without explicit CRS info, longitudes in 0–360 convention are
+  normalized to ±180 (lon > 180 → lon − 360), which can produce
+  lon_min > lon_max — exactly the reference's antimeridian-crossing
+  state (stac_utils.py:183-186);
 - temporal extent from ``time_coverage_{start,end}``
   (datacube.py:273-278); item rule: datetime null ⇔ start/end present
   (populators.py:169-172);
@@ -63,6 +68,7 @@ CF_ITEM_SCHEMA = T.StructType(
                 )
             ),
         ),
+        T.StructField("geo_error", T.StringType()),
     ]
 )
 
@@ -83,12 +89,44 @@ def _norm_lon(lon: float | None) -> float | None:
 def parse_cf_document(doc: dict, fallback_id: str = "") -> dict:
     """One CF dict → one item-record dict (pure python; unit-testable)."""
     cf = (doc.get("groups", {}).get("CFMetadata", {}) or {}).get("attributes", {}) or {}
+    sp = doc.get("@stac-populator") or {}
     lat_min = _scalar(cf.get("geospatial_lat_min"))
     lat_max = _scalar(cf.get("geospatial_lat_max"))
-    lon_min = _norm_lon(_scalar(cf.get("geospatial_lon_min")))
-    lon_max = _norm_lon(_scalar(cf.get("geospatial_lon_max")))
+    lon_min = _scalar(cf.get("geospatial_lon_min"))
+    lon_max = _scalar(cf.get("geospatial_lon_max"))
     z_min = _scalar(cf.get("geospatial_vertical_min"))
     z_max = _scalar(cf.get("geospatial_vertical_max"))
+
+    # CRS precedence (stac_utils.py:144-162); explicit CRS → numpy registry
+    crs_spec = (
+        sp.get("force_crs")
+        or cf.get("geospatial_bounds_crs")
+        or sp.get("fallback_crs")
+    )
+    geo_error = None
+    has_vals = lon_min is not None and lat_min is not None
+    if has_vals and crs_spec is not None:
+        try:
+            from ..functions.crs import transform_to_wgs84, x_is_longitude
+
+            lon_vals = [float(lon_min), float(lon_max)]
+            lat_vals = [float(lat_min), float(lat_max)]
+            if x_is_longitude(crs_spec):
+                xs, ys = lon_vals, lat_vals
+            else:
+                xs, ys = lat_vals, lon_vals
+            lon_arr, lat_arr, _ = transform_to_wgs84(xs, ys, None, crs_spec)
+            lon_min, lon_max = float(lon_arr[0]), float(lon_arr[1])
+            lat_min, lat_max = float(lat_arr[0]), float(lat_arr[1])
+        except (NotImplementedError, ValueError) as exc:
+            geo_error = str(exc)[:500]
+            lon_min = lat_min = lon_max = lat_max = None
+    elif has_vals:
+        # no CRS info anywhere: the pragmatic THREDDS default — treat as
+        # WGS84 with 0-360 longitudes allowed (equivalent to the reference
+        # running with its 0-360 fallback WKT)
+        lon_min = _norm_lon(lon_min)
+        lon_max = _norm_lon(lon_max)
 
     has_geom = lon_min is not None and lat_min is not None
     bbox = geometry = crosses = None
@@ -145,6 +183,7 @@ def parse_cf_document(doc: dict, fallback_id: str = "") -> dict:
         "end_datetime": ts("time_coverage_end"),
         "access_urls": access,
         "vars": variables,
+        "geo_error": geo_error,
     }
 
 

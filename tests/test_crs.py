@@ -1,0 +1,136 @@
+"""CRS transform registry vs the reference's pyproj expectations
+(/root/reference/tests/test_stac_utils.py:134-156) and the CRS-precedence
+chain (stac_utils.py:144-162)."""
+
+import json
+
+import pytest
+
+from stac_populator_spark.functions.crs import (
+    transform_to_wgs84,
+    x_is_longitude,
+)
+from stac_populator_spark.sources.cfattrs import parse_cf_document
+
+WKT_0_360 = """
+GEOGCRS["WGS 84",
+    DATUM["based on WGS 84 ellipsoid",
+        ELLIPSOID["WGS 84", 6378137, 298.257223563, LENGTHUNIT["metre",1]]],
+    PRIMEM["Greenwich", -360, ANGLEUNIT["degree", 0.0174532925199433]],
+    CS[ellipsoidal, 3],
+    AXIS["geodetic longitude (Lon)", east, ORDER[1],
+        ANGLEUNIT["degree", 0.0174532925199433]],
+    AXIS["geodetic latitude (Lat)", north, ORDER[2],
+        ANGLEUNIT["degree", 0.0174532925199433]],
+    AXIS["ellipsoidal height (h)", up, ORDER[3], LENGTHUNIT["metre", 1]]]
+"""
+
+
+def test_identity_4979_latlon_axis_order():
+    # reference test_no_change: x holds LATITUDES for EPSG:4979 (lat-first)
+    lon, lat, vert = transform_to_wgs84([10, 20], [30, 40], [-10, 12], "EPSG:4979")
+    assert list(lat) == [10, 20]
+    assert list(lon) == [30, 40]
+    assert list(vert) == [-10, 12]
+    assert not x_is_longitude("EPSG:4979")
+    assert not x_is_longitude(4326)
+
+
+def test_shifted_longitude_0_360():
+    # reference test_from_shifted_longitude: x=[100, 280] → lon [100, -80]
+    assert x_is_longitude(WKT_0_360)
+    lon, lat, _ = transform_to_wgs84([100, 280], [30, 40], None, WKT_0_360)
+    assert list(lon) == pytest.approx([100, -80])
+    assert list(lat) == [30, 40]
+
+
+def test_from_cylindrical_epsg4087():
+    # reference test_from_cylindrical
+    lon, lat, _ = transform_to_wgs84([10044, 33000], [-235544, 909900], None, "EPSG:4087")
+    assert list(lat) == pytest.approx([-2.1159277528264853, 8.173770770203525])
+    assert list(lon) == pytest.approx([0.09022678713696472, 0.29644404375944206])
+
+
+def test_from_nad83_statcan_lambert_epsg3348():
+    # reference test_from_NAD83 (same pytest.approx tolerance as upstream;
+    # residual vs pyproj is the sub-metre NAD83(CSRS)→WGS84 datum shift)
+    lon, lat, _ = transform_to_wgs84(
+        [10436931, 5740845], [2093070, 2000000], None, "EPSG:3348"
+    )
+    assert list(lat) == pytest.approx([38.7545891461986, 53.94358296286908])
+    assert list(lon) == pytest.approx([-40.00269171523382, -98.98931749790985])
+
+
+def test_unregistered_crs_raises():
+    with pytest.raises(NotImplementedError):
+        transform_to_wgs84([0], [0], None, "EPSG:32633")
+
+
+def test_noncompliant_output_raises():
+    with pytest.raises(ValueError):
+        transform_to_wgs84([100_000_000], [0], None, "EPSG:4087")
+
+
+def _doc(cf_attrs: dict, sp: dict | None = None) -> dict:
+    doc = {"groups": {"CFMetadata": {"attributes": cf_attrs}}, "access_urls": {}}
+    if sp:
+        doc["@stac-populator"] = sp
+    return doc
+
+
+def test_precedence_fallback_crs_0360_matches_default_path():
+    cf = {
+        "geospatial_lon_min": 0.049800001084804535,
+        "geospatial_lon_max": 359.99493408203125,
+        "geospatial_lat_min": -78.39350128173828,
+        "geospatial_lat_max": 89.74176788330078,
+    }
+    via_fallback = parse_cf_document(_doc(cf, {"fallback_crs": WKT_0_360}))
+    via_default = parse_cf_document(_doc(cf))
+    # the explicit 0-360 WKT path and the no-CRS default must agree exactly,
+    # including the antimeridian-crossing state and golden float digits
+    assert via_fallback["bbox"] == via_default["bbox"]
+    assert via_fallback["lon_max"] == -0.00506591796875
+    assert via_fallback["crosses_am"] is True
+    assert via_fallback["geo_error"] is None
+
+
+def test_precedence_bounds_crs_projected():
+    cf = {
+        # projected axis order: x=easting (ends up in the lon slots)
+        "geospatial_lon_min": 10436931.0,
+        "geospatial_lon_max": 5740845.0,
+        "geospatial_lat_min": 2093070.0,
+        "geospatial_lat_max": 2000000.0,
+        "geospatial_bounds_crs": "EPSG:3348",
+    }
+    rec = parse_cf_document(_doc(cf))
+    assert rec["geo_error"] is None
+    assert rec["lat_min"] == pytest.approx(38.7545891461986)
+    assert rec["lon_min"] == pytest.approx(-40.00269171523382)
+
+
+def test_force_crs_wins_over_bounds_crs():
+    cf = {
+        "geospatial_lon_min": 100.0,
+        "geospatial_lon_max": 280.0,
+        "geospatial_lat_min": 30.0,
+        "geospatial_lat_max": 40.0,
+        "geospatial_bounds_crs": "EPSG:32633",  # would dead-letter
+    }
+    rec = parse_cf_document(_doc(cf, {"force_crs": WKT_0_360}))
+    assert rec["geo_error"] is None
+    assert rec["lon_max"] == pytest.approx(-80.0)
+
+
+def test_unknown_crs_routes_to_geo_error():
+    cf = {
+        "geospatial_lon_min": 1.0,
+        "geospatial_lon_max": 2.0,
+        "geospatial_lat_min": 3.0,
+        "geospatial_lat_max": 4.0,
+        "geospatial_bounds_crs": "EPSG:32633",
+    }
+    rec = parse_cf_document(_doc(cf))
+    assert rec["geo_error"] is not None
+    assert rec["bbox"] is None and rec["geometry"] is None

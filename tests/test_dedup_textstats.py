@@ -243,6 +243,56 @@ def test_ivf_topk_recall(spark, vectors):
     assert len(got & want) >= 5
 
 
+def test_ivf_trained_centroids_beat_random(spark):
+    from stac_populator_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        ivf_train,
+    )
+    from stac_populator_spark.operators.similarity import cosine_topk as exact_topk
+
+    # clustered corpus (8 gaussian blobs) — the case where random unit
+    # centroids skew inverted-list sizes and lose recall
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((8, 16)) * 3
+    X = np.concatenate([c + rng.standard_normal((50, 16)) * 0.3 for c in centers])
+    pdf = pd.DataFrame({"vec_id": range(len(X)), "embedding": [list(map(float, v)) for v in X]})
+    df = spark.createDataFrame(pdf).cache()
+    q = df.filter(F.col("vec_id") % 40 == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+
+    cents = ivf_train(df, k_centroids=8, sample_n=400, seed=7)
+    assert cents.shape == (8, 16)
+    # determinism
+    cents2 = ivf_train(df.repartition(7), k_centroids=8, sample_n=400, seed=7)
+    assert np.allclose(cents, cents2)
+
+    exact = {(r["query_id"], r["vec_id"]) for r in exact_topk(df, q, k=5).collect()}
+
+    def recall(centroids):
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in ivf_topk(df, q, k=5, n_probe=2, dim=16, k_centroids=8,
+                              centroids=centroids).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r_trained = recall(cents)
+    r_random = recall(None)
+    assert r_trained >= r_random
+    assert r_trained >= 0.9  # blobs + trained lists: near-perfect recall
+
+    # trained lists are balanced: max/min list size far tighter than random
+    sizes = (
+        ivf_assign(df, dim=16, k_centroids=8, centroids=cents)
+        .groupBy("ivf_cluster").count().collect()
+    )
+    counts = sorted(r["count"] for r in sizes)
+    # every list non-empty and bounded imbalance (k-means may split one
+    # blob and merge two — 4× covers that; random centroids on blobs
+    # typically leave lists empty or one list with most of the corpus)
+    assert len(counts) == 8 and counts[0] > 0 and counts[-1] <= 4 * counts[0]
+
+
 def test_cosine_near_duplicates(spark, vectors):
     pairs = {(r["a"], r["b"]): r["cos"] for r in cosine_near_duplicates(vectors, threshold=0.99, dim=16).collect()}
     assert (3, 7) in pairs and pairs[(3, 7)] > 0.999

@@ -1,13 +1,23 @@
 """Scaling-efficiency evidence (north_rule: ≥0.8 from N to 4N executors).
 
-Runs the identical pages-pipeline job at local[8] and local[32] on the same
-deterministic input and reports throughput at both plus efficiency
-eff = (T_8 / T_32) * (8 / 32)  — 1.0 means perfect 4× speedup.
+Runs the identical pages-pipeline job at two parallelism levels on the
+same deterministic input and reports throughput at both plus efficiency
+eff = (T_lo / T_hi) * (cores_lo / cores_hi) — 1.0 means perfect speedup.
+
+Two modes:
+- ``local``   — local[N] vs local[4N] threads in one JVM (round-1 evidence)
+- ``cluster`` — local-cluster[N,c,mem] vs local-cluster[4N,c,mem]:
+  N vs 4N SEPARATE EXECUTOR JVM PROCESSES, each with its own heap and
+  python workers — the closest single-box approximation of N vs 4N
+  cluster executors (VERDICT r1 asked for process isolation so the
+  shared-heap argument is empirical, not argued).
 
 Each measurement runs in its own subprocess (a JVM can't change master
 in-place); results are appended to BENCH/BASELINE.md.
 
-Usage: python tools/bench_scaling.py [n_pages]
+Usage: python tools/bench_scaling.py [n_pages] [lo] [hi] [mode] [cores_per_exec]
+  mode=local   : lo/hi are thread counts        (default 8 → 32)
+  mode=cluster : lo/hi are executor counts, each with cores_per_exec cores
 """
 
 from __future__ import annotations
@@ -30,8 +40,16 @@ from stac_populator_spark.plans.pipeline import build_items
 
 cpus = {cpus}
 n = {n_pages}
-spark = get_spark(app_name=f"scale-{{cpus}}", master=f"local[{{cpus}}]",
+spark = get_spark(app_name=f"scale-{{cpus}}", master={master!r},
                   shuffle_partitions=cpus * 2)
+if "local-cluster" in {master!r}:
+    # executor JVMs spawn their own python workers which do NOT inherit the
+    # driver's sys.path — ship the package exactly the way a real cluster
+    # run would (spark-submit --py-files, per the north rule)
+    import shutil
+    zip_base = f"/tmp/stac_populator_spark_pyfiles_{{os.getpid()}}"
+    shutil.make_archive(zip_base, "zip", {repo!r}, "stac_populator_spark")
+    spark.sparkContext.addPyFile(zip_base + ".zip")
 pages_path = f"/tmp/spark_graft_bench_pages_{{n}}.parquet"
 if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
     # identical deterministic input for every parallelism level (untimed)
@@ -48,31 +66,50 @@ for _ in range(3):
 wall = min(walls)  # min-of-3: scheduling noise is strictly additive
 print(json.dumps({{"cpus": cpus, "n_pages": n, "wall_sec": round(wall, 3),
                    "walls": [round(w, 3) for w in walls],
-                   "pages_per_sec": round(n / wall, 1)}}))
+                   "pages_per_sec": round(n / wall, 1)}}), flush=True)
+# local-cluster teardown races a benign worker-RPC exception that would
+# poison the exit code — the measurement is already on stdout
+try:
+    spark.stop()
+except Exception:
+    pass
+os._exit(0)
 """
 
 
-def run(cpus: int, n_pages: int) -> dict:
-    code = CHILD.format(repo=REPO, cpus=cpus, n_pages=n_pages)
+def run(cpus: int, n_pages: int, master: str) -> dict:
+    code = CHILD.format(repo=REPO, cpus=cpus, n_pages=n_pages, master=master)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800
     )
-    if out.returncode != 0:
+    lines = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
+    if not lines:
         raise RuntimeError(out.stderr[-2000:])
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    return json.loads(lines[-1])
 
 
 def main():
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 2000000
     lo = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     hi = int(sys.argv[3]) if len(sys.argv) > 3 else 4 * lo
-    r_lo = run(lo, n_pages)
-    r_hi = run(hi, n_pages)
-    eff = (r_lo["wall_sec"] / r_hi["wall_sec"]) * (lo / hi)
+    mode = sys.argv[4] if len(sys.argv) > 4 else "local"
+    cpe = int(sys.argv[5]) if len(sys.argv) > 5 else 2  # cores per executor
+
+    if mode == "cluster":
+        mem_mb = 4096
+        label = lambda n: f"local-cluster[{n},{cpe},{mem_mb}]"
+        cores = lambda n: n * cpe
+    else:
+        label = lambda n: f"local[{n}]"
+        cores = lambda n: n
+
+    r_lo = run(cores(lo), n_pages, label(lo))
+    r_hi = run(cores(hi), n_pages, label(hi))
+    eff = (r_lo["wall_sec"] / r_hi["wall_sec"]) * (cores(lo) / cores(hi))
     result = {
         "n_pages": n_pages,
-        f"local[{lo}]": r_lo,
-        f"local[{hi}]": r_hi,
+        label(lo): r_lo,
+        label(hi): r_hi,
         "scaling_efficiency": round(eff, 3),
     }
     print(json.dumps(result, indent=1))
@@ -80,19 +117,23 @@ def main():
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
     stamp = time.strftime("%Y-%m-%d %H:%M:%SZ", time.gmtime())
+    isolation = (
+        f"{lo} vs {hi} separate executor JVM processes "
+        f"({cpe} cores + {4096} MB heap each, own python workers)"
+        if mode == "cluster"
+        else "threads sharing one JVM heap"
+    )
     with open(path, "a") as f:
         f.write(
-            f"\n## Scaling run {stamp}\n\n"
+            f"\n## Scaling run {stamp} ({mode} mode)\n\n"
             f"Identical pages-pipeline job (extract → cells → broadcast PIP "
             f"join → tiles → STAC JSON) on {n_pages} deterministic synthetic "
-            f"pages, measured after a warmup pass.\n\n"
-            f"| parallelism | wall (s) | pages/sec |\n|---|---|---|\n"
-            f"| local[{lo}] | {r_lo['wall_sec']} | {r_lo['pages_per_sec']} |\n"
-            f"| local[{hi}] | {r_hi['wall_sec']} | {r_hi['pages_per_sec']} |\n\n"
-            f"Scaling efficiency (T{lo}/T{hi})·({lo}/{hi}) = **{eff:.3f}** "
-            f"(north_rule target ≥ 0.8; note local-mode cores share one JVM "
-            f"heap + memory bandwidth, so this is a conservative lower "
-            f"bound on multi-executor scaling).\n"
+            f"pages, measured after a warmup pass; {isolation}.\n\n"
+            f"| parallelism | total cores | wall (s) | pages/sec |\n|---|---|---|---|\n"
+            f"| {label(lo)} | {cores(lo)} | {r_lo['wall_sec']} | {r_lo['pages_per_sec']} |\n"
+            f"| {label(hi)} | {cores(hi)} | {r_hi['wall_sec']} | {r_hi['pages_per_sec']} |\n\n"
+            f"Scaling efficiency (T_lo/T_hi)·(cores_lo/cores_hi) = **{eff:.3f}** "
+            f"(north_rule target ≥ 0.8 from N to 4N executors).\n"
         )
 
 
