@@ -56,7 +56,16 @@ def main():
         "minhash_neardup",
         "simhash_pairs",
         "stac_flagship",
+        "knn_exact_docs",
+        "stac_valid_split",
+        "stac_collections",
     ]
+    # JVM/JIT warmup (untimed): the very first job on a fresh session pays
+    # several seconds of classloading + whole-stage-codegen compiler
+    # warmup that has nothing to do with query cost — run one throwaway
+    # scan+agg so the first timed query measures the query, not JVM boot
+    materialize(qs["q1_pricing_summary"](spark, SF_DIR))
+
     timings: dict[str, float] = {}
     for name in headline:
         t0 = time.time()

@@ -142,6 +142,9 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
     no intermediate shuffle is.
     """
     th = F.md5(F.col(text_col).cast("binary"))
+    # map-side-combined aggregate: the exchange carries one row per distinct
+    # hash per input partition (a window over _th would shuffle every full
+    # text row — measured 2× slower)
     grp = df.groupBy(th.alias("_th")).agg(
         F.min(id_col).alias("_rep"),
         F.count(F.lit(1)).alias("_n"),
@@ -205,19 +208,21 @@ def simhash_signature_md5(df: DataFrame, text_col: str = "text",
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
     ).withColumn("hx", F.md5(F.col("tok").cast("binary")))
-    # 16 hex-digit values once (bits share them 4-ways; CSE-friendly)
-    for d in range(16):
+    # four 16-bit chunks parsed once per token (conv beats 16 per-digit
+    # instr lookups); bit i lives in chunk i//16 at position
+    # (3 − (i//4)%4)·4 + (3 − i%4) — hex digit order is big-endian
+    for c in range(4):
         toks = toks.withColumn(
-            f"v{d}",
-            (F.instr(F.lit("0123456789abcdef"), F.substring("hx", d + 1, 1)) - 1).cast("int"),
+            f"c{c}",
+            F.conv(F.substring("hx", 4 * c + 1, 4), 16, 10).cast("int"),
         )
+
+    def _bit(i: int) -> F.Column:
+        shift = (3 - (i // 4) % 4) * 4 + (3 - i % 4)
+        return F.shiftrightunsigned(F.col(f"c{i // 16}"), shift).bitwiseAND(F.lit(1))
+
     aggs = [
-        F.sum(
-            F.when(
-                F.shiftrightunsigned(F.col(f"v{i // 4}"), 3 - (i % 4)).bitwiseAND(F.lit(1)) == 1,
-                1,
-            ).otherwise(-1)
-        ).alias(f"b{i}")
+        F.sum(F.when(_bit(i) == 1, 1).otherwise(-1)).alias(f"b{i}")
         for i in range(64)
     ]
     sums = toks.groupBy(id_col).agg(*aggs)
