@@ -683,6 +683,30 @@ def _stac_flagship(spark, sf_dir):
     return items.select("id", "collection_id", "cell_s2", "cell_hex", "tile_id", "stac_json")
 
 
+def _stac_items_sql(spark, sf_dir):
+    """The FULL flagship pipeline (documents → derived pages → mapInArrow
+    regex extraction → cells → left broadcast PIP join → tiles → STAC
+    JSON), selecting every SQL-expressible column — id rule, collection
+    match, tile id, char count and the byte-exact stac_json document are
+    all verified against a DuckDB mirror that re-derives the pages and
+    re-builds the JSON with string ops. Only cell_s2/cell_hex (bit
+    interleave / icosahedron math) are excluded; ``stac_flagship`` keeps
+    them and stays rows-only."""
+    from stac_populator_spark.datagen import pages_from_documents
+    from stac_populator_spark.plans.pipeline import build_items
+    from stac_populator_spark.operators.spatial_join import footprint_cover_df
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = pages_from_documents(docs)
+    fps = _nation_footprints(spark, sf_dir).toPandas()
+    fps = fps.rename(columns={c: c[2:] for c in ("f_lon_min", "f_lat_min", "f_lon_max", "f_lat_max")})
+    fps["bbox"] = fps[["lon_min", "lat_min", "lon_max", "lat_max"]].values.tolist()
+    fps["ring"] = None
+    cover = footprint_cover_df(spark, fps[["collection_id", "bbox", "ring"]])
+    items = build_items(pages, cover, exact="rect")
+    return items.select("id", "collection_id", "tile_id", "n_chars", "stac_json")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing_summary,
@@ -722,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stac_flagship": _stac_flagship,
         "knn_exact_docs": _knn_exact_docs,
         "stac_valid_split": _stac_valid_split,
+        "stac_items_sql": _stac_items_sql,
     }
 
 
@@ -1177,6 +1202,66 @@ def oracle_sql() -> dict[str, str]:
                    || '"],"source":["' || array_to_string(srcs, '","')
                    || '"]}}}}' AS stac_collection_json
             FROM agg
+        """,
+        # full-pipeline mirror: re-derives what the html carries (the page
+        # generator is integer-mod arithmetic on doc_id by design), then
+        # rebuilds the exact stac_json bytes — double→string is
+        # shortest-roundtrip in both engines for this value range, and
+        # Spark's to_json drops null fields, mirrored with CASE chunks
+        "stac_items_sql": f"""
+            WITH base AS (
+              -- extracted text = title + single separator + body
+              SELECT doc_id, lang, source,
+                     length('Doc ' || doc_id) + 1 + length(text) AS n_chars,
+                     'https://docs.example/' || source || '/' || doc_id || '.html' AS url,
+                     'docs.example__' || source || '__' || doc_id || '.html' AS id,
+                     (doc_id % 5) != 0 AS has_geo,
+                     ((doc_id*37)%3600)/10.0 - 179.95 AS lon,
+                     ((doc_id*53)%1700)/10.0 - 84.95 AS lat,
+                     STRFTIME(TIMESTAMP '2020-01-01 00:00:00' + (doc_id*977) * INTERVAL 1 SECOND,
+                              '%Y-%m-%dT%H:%M:%SZ') AS dt_str,
+                     STRFTIME(TIMESTAMP '2024-01-01 00:00:00' + (doc_id*137) * INTERVAL 1 SECOND,
+                              '%Y-%m-%dT%H:%M:%SZ') AS crawl_str
+              FROM documents
+            ), joined AS (
+              SELECT b.*, f.collection_id
+              FROM base b LEFT JOIN ({_FOOTPRINTS_SQL}) f
+                ON b.has_geo
+               AND b.lon >= f.f_lon_min AND b.lon <= f.f_lon_max
+               AND b.lat >= f.f_lat_min AND b.lat <= f.f_lat_max
+            ), tiled AS (
+              SELECT *,
+                     GREATEST(0, LEAST(127, CAST(FLOOR((lon + 180.0) / (360.0/128)) AS INT))) AS tx,
+                     GREATEST(0, LEAST(127, CAST(FLOOR((85.0 - lat) / (170.0/128)) AS INT))) AS ty,
+                     lon::VARCHAR AS ls, lat::VARCHAR AS ts
+              FROM joined
+            )
+            SELECT id, collection_id,
+                   CASE WHEN has_geo THEN 'z7/x' || tx || '/y' || ty END AS tile_id,
+                   n_chars::INT AS n_chars,
+                   '{{"type":"Feature","stac_version":"1.0.0","id":"' || id || '"'
+                   || CASE WHEN collection_id IS NOT NULL
+                           THEN ',"collection":"' || collection_id || '"' ELSE '' END
+                   || CASE WHEN has_geo
+                           THEN ',"bbox":[' || ls || ',' || ts || ',' || ls || ',' || ts || ']'
+                           ELSE '' END
+                   || ',"properties":{{'
+                   || CASE WHEN has_geo THEN '"datetime":"' || dt_str || '",' ELSE '' END
+                   || '"page:title":"Doc ' || doc_id
+                   || '","page:language":"' || lang
+                   || '","page:n_chars":' || n_chars
+                   || ',"page:crawl_ts":"' || crawl_str || '"}}'
+                   || ',"assets":{{"source":{{"href":"' || url
+                   || '","type":"text/html","roles":["data"]}}}}'
+                   || ',"geometry":'
+                   || CASE WHEN has_geo THEN
+                        '{{"type":"Polygon","coordinates":[[['
+                        || ls || ',' || ts || '],[' || ls || ',' || ts || '],['
+                        || ls || ',' || ts || '],[' || ls || ',' || ts || '],['
+                        || ls || ',' || ts || ']]]}}'
+                      ELSE 'null' END
+                   || '}}' AS stac_json
+            FROM tiled
         """,
         "stac_valid_split": """
             SELECT doc_id,

@@ -90,3 +90,38 @@ def test_minhash_group_is_partial(spark):
     docs = spark.createDataFrame(pd.DataFrame({"doc_id": [1, 2], "text": ["a b c d", "b c d e"]}))
     plan = plan_of(minhash_signatures(docs))
     assert plan.count("HashAggregate") >= 2  # partial min() before shuffle
+
+
+def test_pip_join_left_stays_broadcast_no_fact_shuffle(spark, pages_path):
+    # the corpus-complete path: LeftOuter broadcast join with the rect
+    # refinement folded into the join condition — still zero fact-side
+    # exchange (only the broadcast of the cover table)
+    from stac_populator_spark.datagen import footprints_pdf
+    from stac_populator_spark.operators.cells import encode_cells
+    from stac_populator_spark.operators.extract import extract_items
+    from stac_populator_spark.operators.spatial_join import footprint_cover_df, pip_join
+
+    pages = spark.read.parquet(pages_path)
+    items = encode_cells(extract_items(pages))
+    cover = footprint_cover_df(spark, footprints_pdf())
+    plan = plan_of(pip_join(items, cover, exact="rect", how="left"))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftOuter" in plan
+    assert "SortMergeJoin" not in plan
+    assert " Exchange (" not in plan
+
+
+def test_lsh_bucket_cap_plan_bounded(spark):
+    # the hot-bucket cap is a rank-filter inside the bucket shuffle, not an
+    # extra all-pairs stage: exactly the window sort + the candidate join,
+    # no CartesianProduct anywhere
+    import pandas as pd
+
+    from stac_populator_spark.operators.dedup import minhash_candidates, minhash_signatures
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(20), "text": [f"a b c d e f g h {i}" for i in range(20)]})
+    )
+    plan = plan_of(minhash_candidates(minhash_signatures(docs)))
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan

@@ -87,6 +87,87 @@ def test_stream_collection_counts(spark, tmp_path, cover):
     assert key(got) == key(batch)
 
 
+def test_stream_windowed_counts_matches_batch_finalized(spark, tmp_path, cover):
+    from stac_populator_spark.plans.pipeline import build_items
+    from stac_populator_spark.streaming.ingest import read_pages_stream
+    from stac_populator_spark.streaming.windows import (
+        stream_windowed_counts,
+        windowed_collection_counts,
+    )
+
+    src = str(tmp_path / "pages_w1")
+    cp = str(tmp_path / "cp_w1")
+    # two files so the watermark advances between micro-batches
+    _write_pages_files(spark, src, [(0, 200), (200, 200)])
+    q = stream_windowed_counts(
+        read_pages_stream(spark, src, max_files_per_trigger=1), cover, cp,
+        window_s=3600, late_s=600, query_name="win_a",
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["collection_id"], r["window_start"]): (r["n_items"], r["n_geo"])
+        for r in spark.sql("select * from win_a").collect()
+    }
+    batch_items = build_items(spark.read.parquet(src), cover)
+    batch = windowed_collection_counts(batch_items, window_s=3600, late_s=600)
+    full = {
+        (r["collection_id"], r["window_start"]): (r["n_items"], r["n_geo"])
+        for r in batch.collect()
+    }
+    # append mode emits only FINALIZED windows (watermark passed window
+    # end); everything emitted must match the batch value exactly, and all
+    # windows strictly older than the final watermark must have emitted
+    assert got, "no finalized windows emitted"
+    assert set(got).issubset(set(full))
+    for k, v in got.items():
+        assert full[k] == v
+    max_ts = max(r["warc_ts"] for r in batch_items.select("warc_ts").collect())
+    import datetime
+
+    cutoff = max_ts - datetime.timedelta(seconds=600 + 3600)
+    must_have = {k for k in full if k[1] < cutoff}
+    assert must_have.issubset(set(got))
+
+
+def test_stream_windowed_counts_drops_late_rows(spark, tmp_path, cover):
+    from stac_populator_spark.streaming.ingest import read_pages_stream
+    from stac_populator_spark.streaming.windows import stream_windowed_counts
+
+    src = str(tmp_path / "pages_w2")
+    cp = str(tmp_path / "cp_w2")
+    out = str(tmp_path / "win_out")
+    # recent pages first: watermark advances far past the early windows
+    _write_pages_files(spark, src, [(500, 300)])
+    q1 = stream_windowed_counts(
+        read_pages_stream(spark, src), cover, cp, window_s=3600, late_s=600,
+        out_dir=out,
+    )
+    q1.awaitTermination(180)
+
+    # then VERY old pages arrive (event times hours behind the watermark):
+    # the resumed query must drop them, counted by the state operator
+    _write_pages_files(spark, src, [(0, 50)])
+    q2 = stream_windowed_counts(
+        read_pages_stream(spark, src), cover, cp, window_s=3600, late_s=600,
+        out_dir=out,
+    )
+    q2.awaitTermination(180)
+    progress = q2.lastProgress
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0) for op in progress["stateOperators"]
+    )
+    assert dropped > 0  # late data was dropped, not silently aggregated
+    # and none of the old windows appear in the (exactly-once) output
+    import datetime
+
+    old_cutoff = datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=50 * 137)
+    late_rows = [
+        r for r in spark.read.parquet(out).collect()
+        if r["window_start"] < old_cutoff
+    ]
+    assert late_rows == []
+
+
 def test_decode_stub_contract():
     with pytest.raises(NotImplementedError):
         decode_image(b"abc")
