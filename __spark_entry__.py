@@ -683,6 +683,25 @@ def _stac_flagship(spark, sf_dir):
     return items.select("id", "collection_id", "cell_s2", "cell_hex", "tile_id", "stac_json")
 
 
+def _cosine_neardup(spark, sf_dir):
+    """Embedding near-dup pairs via banded hyperplane LSH + exact cosine
+    verify. The embeddings table is random gaussian (max natural cosine
+    ~0.51), so the query plants a deterministic twin per vector
+    (x → x·1.0001 + 0.002, SQL-expressible) — every (i, i+100000) pair
+    has cosine ≈ 0.9999 and must survive; nothing else may."""
+    from stac_populator_spark.operators.similarity import cosine_near_duplicates
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    twin = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.0001 + 0.002).alias("embedding"),
+    )
+    corpus = emb.unionByName(twin)
+    return cosine_near_duplicates(corpus, threshold=0.98, dim=64)
+
+
 def _stac_items_sql(spark, sf_dir):
     """The FULL flagship pipeline (documents → derived pages → mapInArrow
     regex extraction → cells → left broadcast PIP join → tiles → STAC
@@ -747,6 +766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_exact_docs": _knn_exact_docs,
         "stac_valid_split": _stac_valid_split,
         "stac_items_sql": _stac_items_sql,
+        "cosine_neardup": _cosine_neardup,
     }
 
 
@@ -1262,6 +1282,20 @@ def oracle_sql() -> dict[str, str]:
                       ELSE 'null' END
                    || '}}' AS stac_json
             FROM tiled
+        """,
+        "cosine_neardup": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            u AS (
+              SELECT vec_id, v FROM e
+              UNION ALL
+              SELECT vec_id + 100000, list_transform(v, x -> x * 1.0001 + 0.002) FROM e
+            ), p AS (
+              SELECT a.vec_id AS a, b.vec_id AS b,
+                     LIST_DOT_PRODUCT(a.v, b.v)
+                       / (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(b.v, b.v))) AS cos
+              FROM u a JOIN u b ON a.vec_id < b.vec_id
+            )
+            SELECT a, b, ROUND(cos, 6) AS cos FROM p WHERE cos >= 0.98
         """,
         "stac_valid_split": """
             SELECT doc_id,
