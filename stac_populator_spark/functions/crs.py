@@ -119,6 +119,39 @@ def x_is_longitude(crs_spec) -> bool:
     return True  # projected CRSs: easting first
 
 
+def crs_axis_units(crs_spec) -> list[str]:
+    """Per-axis unit names in declaration order (GeoData.x/y/z_units reads
+    pyproj's axis_info[i].unit_name; here parsed from the WKT AXIS blocks'
+    ANGLEUNIT/LENGTHUNIT entries, with EPSG geographic defaults)."""
+    s = _spec_text(crs_spec)
+    axis_blocks = re.split(r"AXIS\s*\[", s)[1:]
+    units = []
+    for block in axis_blocks:
+        m = re.search(r'(?:ANGLEUNIT|LENGTHUNIT)\s*\[\s*"([^"]+)"', block)
+        if m:
+            units.append(m.group(1))
+    if units:
+        return units
+    code = _epsg_code(crs_spec)
+    if code == 4326:
+        return ["degree", "degree"]
+    if code == 4979:
+        return ["degree", "degree", "metre"]
+    return ["metre", "metre", "metre"]
+
+
+def crs_reference_system(crs_spec):
+    """Datacube ``reference_system``: the EPSG code when one exists, else
+    the (whitespace-normalized) WKT — mirroring
+    ``crs.to_epsg() or crs.to_wkt()`` (reference datacube.py:158-159; the
+    reference's own test asserts its fixture WKT normalizes to exactly
+    this, tests/test_cmip6_datacube.py:63-64)."""
+    code = _epsg_code(crs_spec)
+    if code is not None:
+        return code
+    return re.sub(r"\n\s+", "", _spec_text(crs_spec)).strip()
+
+
 def _primem_shift(crs_spec) -> float:
     m = re.search(r'PRIMEM\s*\[\s*"[^"]*"\s*,\s*(-?[\d.]+)', _spec_text(crs_spec))
     return float(m.group(1)) if m else 0.0
