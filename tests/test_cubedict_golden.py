@@ -128,6 +128,21 @@ def test_auxiliary_variables_golden_clt():
     assert variables["clt"]["type"] == "data"
 
 
+def test_rdps_hrdps_cube_assertions():
+    # the reference's own rdps/hrdps item assertions
+    # (tests/test_rdps.py:21-69) over its checked-in to_cf_dict fixtures
+    import json
+
+    rdps = json.load(open(f"{DATA}/rdps.json", encoding="utf-8"))
+    assert "TD" in cube_variables(rdps)
+    for name, data_var in (("hrdps_sfc", "HRDPS_P_PR_SFC"), ("hrdps_p_tt", "HRDPS_P_TT_10000")):
+        attrs = json.load(open(f"{DATA}/{name}.json", encoding="utf-8"))
+        assert set(cube_dimensions(attrs)) == {"time", "rlat", "rlon"}
+        variables = cube_variables(attrs)
+        assert data_var in variables
+        assert variables[data_var]["type"] == "data"
+
+
 def test_o3_curvilinear_grid_dimensions():
     # curvilinear ocean grid: cell-index dims i/j classify as spatial via
     # the long_name "cell index along …" criteria, with int extents
