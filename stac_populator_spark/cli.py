@@ -37,6 +37,17 @@ def cmd_run(args) -> int:
     from .plans.pipeline import run_pipeline
     from .session import get_spark
 
+    if args.catalog:
+        # P24: fail fast BEFORE creating the SparkSession / submitting jobs
+        # (the reference aborts when the STAC host is unreachable or on a
+        # different STAC version, api_requests.py:14-44)
+        from .sources.preflight import preflight
+
+        ok, reason = preflight(args.catalog)
+        if not ok:
+            print(f"preflight failed: {reason}", file=sys.stderr)
+            return 1
+
     spark = get_spark(app_name="stac-populator-run")
     pages = spark.read.parquet(args.pages)
     out = run_pipeline(
@@ -95,6 +106,8 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--out", required=True)
     r.add_argument("--footprints", default=None)
     r.add_argument("--checkpoint", default=None)
+    r.add_argument("--catalog", default=None,
+                   help="destination STAC catalog root; preflight-checked (P24)")
     r.set_defaults(fn=cmd_run)
 
     e = sub.add_parser("export", help="items parquet → per-collection JSON tree")

@@ -46,6 +46,30 @@ def test_export_verb(spark, tree):
         main(["export", "--items", f"{tree}/out/items", "--out", f"{tree}/export"])
 
 
+def test_run_preflight(spark, tree, tmp_path):
+    from stac_populator_spark.sources.preflight import host_reachable, preflight
+
+    cat = tmp_path / "catalog"
+    cat.mkdir()
+    # no catalog.json → unreachable → exit 1 BEFORE any Spark work
+    rc = main(["run", "--pages", f"{tree}/pages", "--out", f"{tree}/out_pf",
+               "--catalog", str(cat)])
+    assert rc == 1
+    # wrong stac_version → refused (reference api_requests.py:33-44)
+    (cat / "catalog.json").write_text(
+        json.dumps({"type": "Catalog", "stac_version": "0.9.0", "id": "c"}))
+    ok, reason = preflight(str(cat))
+    assert not ok and "mismatch" in reason
+    # valid catalog → run proceeds end-to-end
+    (cat / "catalog.json").write_text(
+        json.dumps({"type": "Catalog", "stac_version": "1.0.0", "id": "c"}))
+    assert host_reachable(str(cat))
+    rc = main(["run", "--pages", f"{tree}/pages", "--out", f"{tree}/out_pf",
+               "--catalog", str(cat)])
+    assert rc == 0
+    assert spark.read.parquet(f"{tree}/out_pf/items").count() > 0
+
+
 def test_update_collection_verb(spark, tree):
     rc = main(["update-collection", "--items", f"{tree}/out/items",
                "--mode", "extents", "--out", f"{tree}/agg"])
