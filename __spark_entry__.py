@@ -683,6 +683,82 @@ def _stac_flagship(spark, sf_dir):
     return items.select("id", "collection_id", "cell_s2", "cell_hex", "tile_id", "stac_json")
 
 
+def _q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING over a grouped fact, then re-join — the
+    plan must aggregate map-side before the having filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("_q"))
+        .filter(F.col("_q") > 300)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            F.round(_dec("o_totalprice").cast("double"), 2).alias("totalprice"),
+            F.col("_q").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+def _q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive multi-column predicate — Catalyst must
+    still push the common conjuncts to the scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (_dec("l_quantity") >= 1) & (_dec("l_quantity") <= 15))
+        | ((F.col("p_brand") == "Brand#2") & (_dec("l_quantity") >= 10) & (_dec("l_quantity") <= 25))
+        | ((F.col("p_brand") == "Brand#3") & (_dec("l_quantity") >= 20) & (_dec("l_quantity") <= 36))
+    )
+    rev = F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount")))
+    return j.filter(cond).groupBy("p_brand").agg(
+        F.round(rev.cast("double"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+def _q22_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape: scalar-subquery average + anti-join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = c.filter(_dec("c_acctbal") > 0).agg(
+        F.avg(_dec("c_acctbal")).alias("_a")
+    )
+    rich = c.join(F.broadcast(avg_bal)).filter(_dec("c_acctbal") > F.col("_a"))
+    # "idle" = no RECENT orders (the unfiltered anti-join is empty in this
+    # data — every customer has some order)
+    recent = o.filter(F.col("o_orderdate") >= F.lit("1998-06-01").cast("date"))
+    idle = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    seg = F.substring("c_name", 1, 9)
+    return idle.groupBy(seg.alias("name_prefix")).agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.round(F.sum(_dec("c_acctbal")).cast("double"), 2).alias("total_bal"),
+    )
+
+
+def _q16_part_supplier_counts(spark, sf_dir):
+    """TPC-H Q16 shape: COUNT(DISTINCT) per group with a NOT-IN filter."""
+    ps = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    bad = s.filter(_dec("s_acctbal") < 0).select("s_suppkey")
+    pairs = (
+        li.join(ps, li.l_partkey == ps.p_partkey)
+        .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .filter(F.col("p_size").isin(1, 4, 7))
+    )
+    return pairs.groupBy("p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
 def _cosine_neardup(spark, sf_dir):
     """Embedding near-dup pairs via banded hyperplane LSH + exact cosine
     verify. The embeddings table is random gaussian (max natural cosine
@@ -767,6 +843,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stac_valid_split": _stac_valid_split,
         "stac_items_sql": _stac_items_sql,
         "cosine_neardup": _cosine_neardup,
+        "q18_large_orders": _q18_large_orders,
+        "q19_disjunctive_revenue": _q19_disjunctive_revenue,
+        "q22_idle_customers": _q22_idle_customers,
+        "q16_part_supplier_counts": _q16_part_supplier_counts,
     }
 
 
@@ -1282,6 +1362,48 @@ def oracle_sql() -> dict[str, str]:
                       ELSE 'null' END
                    || '}}' AS stac_json
             FROM tiled
+        """,
+        "q18_large_orders": f"""
+            WITH big AS (
+              SELECT l_orderkey, SUM({dec.format(c='l_quantity')}) AS q
+              FROM lineitem GROUP BY l_orderkey
+              HAVING SUM({dec.format(c='l_quantity')}) > 300
+            )
+            SELECT c_name, c_custkey, o_orderkey,
+                   CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+                   ROUND(CAST({dec.format(c='o_totalprice')} AS DOUBLE), 2) AS totalprice,
+                   CAST(q AS DOUBLE) AS sum_qty
+            FROM big JOIN orders ON big.l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+        """,
+        "q19_disjunctive_revenue": f"""
+            SELECT p_brand, ROUND({rev}, 2) AS revenue, COUNT(*) AS n_lineitems
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND {dec.format(c='l_quantity')} BETWEEN 1 AND 15)
+               OR (p_brand = 'Brand#2' AND {dec.format(c='l_quantity')} BETWEEN 10 AND 25)
+               OR (p_brand = 'Brand#3' AND {dec.format(c='l_quantity')} BETWEEN 20 AND 36)
+            GROUP BY p_brand
+        """,
+        "q22_idle_customers": f"""
+            WITH a AS (SELECT AVG({dec.format(c='c_acctbal')}) AS avg_bal
+                       FROM customer WHERE {dec.format(c='c_acctbal')} > 0)
+            SELECT SUBSTRING(c_name, 1, 9) AS name_prefix,
+                   COUNT(*) AS n_custs,
+                   ROUND(CAST(SUM({dec.format(c='c_acctbal')}) AS DOUBLE), 2) AS total_bal
+            FROM customer, a
+            WHERE {dec.format(c='c_acctbal')} > a.avg_bal
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= DATE '1998-06-01')
+            GROUP BY 1
+        """,
+        "q16_part_supplier_counts": f"""
+            SELECT p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_size IN (1, 4, 7)
+              AND l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE {dec.format(c='s_acctbal')} < 0)
+            GROUP BY p_type, p_size
         """,
         "cosine_neardup": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
