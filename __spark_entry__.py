@@ -683,6 +683,45 @@ def _stac_flagship(spark, sf_dir):
     return items.select("id", "collection_id", "cell_s2", "cell_hex", "tile_id", "stac_json")
 
 
+def _events_lag_delta(spark, sf_dir):
+    """Per-user event-time gap + value delta via lag windows (the
+    change-point-feature shape; one shuffle keyed on user_id)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        e.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn("prev_value", F.lag("value").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            (F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(F.col("prev_ts").cast("timestamp"))).alias("gap_us"),
+            F.round(F.col("value").cast("double") - F.col("prev_value").cast("double"), 4).alias("value_delta"),
+        )
+    )
+
+
+def _events_cube(spark, sf_dir):
+    """CUBE over (event_type, lang-ish segment): all four grouping-set
+    combinations with map-side partial aggregation."""
+    e = _t(spark, sf_dir, "events")
+    seg = (F.col("user_id") % 3).alias("user_seg")
+    return (
+        e.select("event_type", seg, "value")
+        .cube("event_type", "user_seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(_dec("value")).cast("double"), 2).alias("total_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("user_seg").cast("string"), F.lit("ALL")).alias("user_seg"),
+            "n",
+            "total_value",
+        )
+    )
+
+
 def _q18_large_orders(spark, sf_dir):
     """TPC-H Q18 shape: HAVING over a grouped fact, then re-join — the
     plan must aggregate map-side before the having filter."""
@@ -843,6 +882,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stac_valid_split": _stac_valid_split,
         "stac_items_sql": _stac_items_sql,
         "cosine_neardup": _cosine_neardup,
+        "events_lag_delta": _events_lag_delta,
+        "events_cube": _events_cube,
         "q18_large_orders": _q18_large_orders,
         "q19_disjunctive_revenue": _q19_disjunctive_revenue,
         "q22_idle_customers": _q22_idle_customers,
@@ -1362,6 +1403,25 @@ def oracle_sql() -> dict[str, str]:
                       ELSE 'null' END
                    || '}}' AS stac_json
             FROM tiled
+        """,
+        "events_lag_delta": """
+            SELECT user_id, event_id,
+                   epoch_us(ts) - epoch_us(prev_ts) AS gap_us,
+                   ROUND(CAST(value AS DOUBLE) - CAST(prev_value AS DOUBLE), 4) AS value_delta
+            FROM (
+              SELECT user_id, event_id, ts, value,
+                     LAG(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts,
+                     LAG(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_value
+              FROM events
+            ) WHERE prev_ts IS NOT NULL
+        """,
+        "events_cube": """
+            SELECT COALESCE(event_type, 'ALL') AS event_type,
+                   COALESCE(CAST(user_seg AS VARCHAR), 'ALL') AS user_seg,
+                   COUNT(*) AS n,
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS total_value
+            FROM (SELECT event_type, user_id % 3 AS user_seg, value FROM events)
+            GROUP BY CUBE (event_type, user_seg)
         """,
         "q18_large_orders": f"""
             WITH big AS (
