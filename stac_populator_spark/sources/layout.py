@@ -50,3 +50,21 @@ def write_items_partitioned(items: DataFrame, path: str, mode: str = "overwrite"
 
 def read_items(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def write_sorted_layout(df: DataFrame, path: str, key_col: str,
+                        n_files: int = 32, mode: str = "overwrite") -> None:
+    """Range-partitioned, within-file-sorted layout on ``key_col`` — the
+    layout the keyset-pagination reader (sources.paging) and any
+    key-range predicate want: repartitionByRange gives each output file a
+    disjoint key range and sortWithinPartitions orders rows inside it, so
+    parquet writes tight per-row-group min/max stats for the key and a
+    ``key > token`` resume predicate skips whole files + row groups
+    instead of scanning them (the Iceberg analogue: sort-order metadata).
+    One range shuffle at write time buys every later page/range read."""
+    (
+        df.repartitionByRange(n_files, F.col(key_col))
+        .sortWithinPartitions(key_col)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -71,6 +71,33 @@ def test_get_children_and_items(items):
     assert one == sorted(f"item-{i:04d}" for i in range(257) if i % 5 == 3)
 
 
+def test_sorted_layout_prunes_pages(spark, tmp_path, items):
+    # the write-side half of keyset paging: a range-sorted layout lets the
+    # resume predicate skip files/row-groups via parquet min/max stats —
+    # a page deep into the keyspace reads far fewer rows than a full scan
+    from stac_populator_spark.sources.layout import write_sorted_layout
+
+    path = str(tmp_path / "sorted_items")
+    write_sorted_layout(items, path, "id", n_files=8)
+    df = spark.read.parquet(path)
+    # correctness unchanged on the sorted layout
+    page = next_page(df, "id", "item-0200", 30).collect()
+    assert [r["id"] for r in page] == [f"item-{i:04d}" for i in range(201, 231)]
+    # files carry disjoint key ranges (each file's ids are contiguous)
+    import os
+
+    parts = sorted(p for p in os.listdir(path) if p.endswith(".parquet"))
+    assert len(parts) >= 4
+    ranges = []
+    for p in parts:
+        ids = [r["id"] for r in spark.read.parquet(f"{path}/{p}").select("id").collect()]
+        if ids:
+            ranges.append((min(ids), max(ids)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # disjoint → min/max stats prune whole files
+
+
 def test_keyset_filter_is_pushed_down(spark, tmp_path, items):
     # on a parquet layout the resume predicate must reach the scan
     path = str(tmp_path / "items_pq")
