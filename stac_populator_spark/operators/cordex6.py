@@ -113,3 +113,41 @@ def cordex6_item_dict(attrs: dict, ncml: bool = False) -> dict:
         "assets": assets,
         "helpers": ["cordex6", "thredds", "datacube"] + (["xscen"] if ncml else []),
     }
+
+
+def cordex6_items(df, json_col: str = "value", ncml: bool = False):
+    """DataFrame of CF-dict JSON strings → (id, stac_json, error) rows —
+    the same mapInPandas dead-letter shape as operators.cmip6.cmip6_items,
+    for CORDEX6 catalogs."""
+    import json as _json
+
+    import pandas as _pd
+    from pyspark.sql import types as _T
+
+    schema = _T.StructType(
+        [
+            _T.StructField("id", _T.StringType()),
+            _T.StructField("stac_json", _T.StringType()),
+            _T.StructField("error", _T.StringType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for _, r in pdf.iterrows():
+                try:
+                    item = cordex6_item_dict(_json.loads(r[json_col]), ncml=ncml)
+                    item.pop("helpers", None)
+                    rows.append(
+                        {"id": item["id"],
+                         "stac_json": _json.dumps(item, separators=(",", ":")),
+                         "error": None}
+                    )
+                except Exception as exc:  # noqa: BLE001 — dead-letter contract
+                    rows.append({"id": None, "stac_json": None, "error": str(exc)[:500]})
+            yield _pd.DataFrame(rows, columns=["id", "stac_json", "error"])
+
+    return df.mapInPandas(run, schema=schema)

@@ -60,6 +60,22 @@ def test_xscen_cv_rejects_bad_value(ncml_attrs):
         cordex6_item_dict(bad, ncml=True)
 
 
+def test_cordex6_through_spark(spark, ncml_attrs, raw_attrs):
+    from stac_populator_spark.operators.cordex6 import cordex6_items
+
+    df = spark.createDataFrame(
+        [(json.dumps(ncml_attrs),), (json.dumps(raw_attrs),), ("{broken",)],
+        "value string",
+    )
+    rows = {r["id"]: r for r in cordex6_items(df, ncml=False).collect()}
+    ok = [r for r in rows.values() if r["error"] is None]
+    bad = [r for r in rows.values() if r["error"] is not None]
+    assert len(ok) == 2 and len(bad) == 1
+    doc = json.loads(ok[0]["stac_json"])
+    assert doc["properties"]["cordex6:project_id"] == "CORDEX"
+    assert doc["id"].startswith("DD_")
+
+
 def test_datacube_props_present(ncml_attrs):
     item = cordex6_item_dict(ncml_attrs, ncml=True)
     dims = item["properties"]["cube:dimensions"]

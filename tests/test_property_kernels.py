@@ -83,3 +83,32 @@ def test_pip_matches_shoelace_winding_oracle(poly, pts):
 
     expected = [inside(x, y) for x, y in pts]
     assert got.tolist() == expected
+
+
+@settings(max_examples=150, deadline=None)
+@given(lons, lats)
+def test_icosa_cell_deterministic_and_wraps(lon, lat):
+    from stac_populator_spark.functions.icosa import icosa_cell, icosa_components
+
+    c1 = icosa_cell(np.array([lon]), np.array([lat]), 7)[0]
+    c2 = icosa_cell(np.array([lon]), np.array([lat]), 7)[0]
+    assert c1 == c2 and c1 > 0
+    res, face, _, _ = icosa_components(c1)
+    assert res[0] == 7 and 0 <= face[0] < 20
+    # longitude wrap: lon and lon±360 are the same sphere point → same cell
+    wrapped = ((lon + 180.0) % 360.0) - 180.0
+    assert icosa_cell(np.array([wrapped]), np.array([lat]), 7)[0] == c1
+
+
+@settings(max_examples=100, deadline=None)
+@given(lons, lats)
+def test_icosa_center_within_cell_radius(lon, lat):
+    from stac_populator_spark.functions.geometry import haversine_km
+    from stac_populator_spark.functions.icosa import EDGE7_RAD, icosa_cell, icosa_center
+
+    c = icosa_cell(np.array([lon]), np.array([lat]), 7)
+    clon, clat = icosa_center(c)
+    d = haversine_km(np.array([lon]), np.array([lat]), clon, clat)[0]
+    # every point lies within a distortion-stretched circumradius of its
+    # cell center (1.6× covers gnomonic compression at face edges)
+    assert d < 1.6 * EDGE7_RAD * 6371.0088
