@@ -233,3 +233,55 @@ def test_bbox_intersects():
         np.array([5.0, 2.0]), np.array([5.0, 2.0]), np.array([15.0, 3.0]), np.array([15.0, 3.0]),
     )
     assert out.tolist() == [True, False]
+
+
+def test_s2_hilbert_adjacency_property():
+    # the defining property of a space-filling Hilbert curve: consecutive
+    # curve positions decode to (i, j) cells at Manhattan distance EXACTLY
+    # 1. This is emergent from the pos/ij/orientation tables acting
+    # together — any wrong table entry breaks it somewhere, so checking it
+    # over random positions is an independent structural verification of
+    # the encoder (not just determinism/round-trip).
+    import numpy as np
+
+    from stac_populator_spark.functions.s2 import (
+        _IJ_TO_POS,
+        _MAX_LEVEL,
+        _POS_TO_IJ,
+        _POS_TO_ORIENTATION,
+        _SWAP,
+    )
+
+    def decode_ij(pos, face):
+        i = j = 0
+        bits = face & _SWAP
+        for k in range(_MAX_LEVEL - 1, -1, -1):
+            p = (pos >> (2 * k)) & 3
+            ij = int(_POS_TO_IJ[bits, p])
+            i = (i << 1) | ((ij >> 1) & 1)
+            j = (j << 1) | (ij & 1)
+            bits ^= int(_POS_TO_ORIENTATION[p])
+        return i, j
+
+    def encode_ij(i, j, face):
+        pos = 0
+        bits = face & _SWAP
+        for k in range(_MAX_LEVEL - 1, -1, -1):
+            ij = (((i >> k) & 1) << 1) | ((j >> k) & 1)
+            p = int(_IJ_TO_POS[bits, ij])
+            pos = (pos << 2) | p
+            bits ^= int(_POS_TO_ORIENTATION[p])
+        return pos
+
+    rng = np.random.default_rng(9)
+    n_checked = 0
+    for _ in range(300):
+        face = int(rng.integers(0, 6))
+        pos = int(rng.integers(1, (1 << (2 * _MAX_LEVEL)) - 1))
+        i1, j1 = decode_ij(pos, face)
+        i2, j2 = decode_ij(pos + 1, face)
+        assert abs(i1 - i2) + abs(j1 - j2) == 1, (face, pos)
+        # and encode is the exact inverse of decode
+        assert encode_ij(i1, j1, face) == pos
+        n_checked += 1
+    assert n_checked == 300
