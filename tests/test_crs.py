@@ -134,3 +134,48 @@ def test_unknown_crs_routes_to_geo_error():
     rec = parse_cf_document(_doc(cf))
     assert rec["geo_error"] is not None
     assert rec["bbox"] is None and rec["geometry"] is None
+
+
+def test_lcc_inverse_roundtrips_independent_forward():
+    # independent verification of the LCC-2SP inverse beyond the two
+    # reference points: implement the FORWARD projection (Snyder
+    # pp.107-109) here in the test and require inverse(forward(p)) == p to
+    # sub-centimetre over random points in the projection's valid domain
+    import numpy as np
+
+    from stac_populator_spark.functions.crs import lcc_inverse
+
+    a, f = 6378137.0, 1 / 298.257222101
+    lat1, lat2, lat0, lon0 = 49.0, 77.0, 63.390675, -91.866667
+    fe, fn = 6200000.0, 3000000.0
+    e = np.sqrt(2 * f - f * f)
+
+    def m(phi):
+        return np.cos(phi) / np.sqrt(1 - (e * np.sin(phi)) ** 2)
+
+    def t(phi):
+        return np.tan(np.pi / 4 - phi / 2) / (
+            (1 - e * np.sin(phi)) / (1 + e * np.sin(phi))
+        ) ** (e / 2)
+
+    p1, p2, p0 = np.radians(lat1), np.radians(lat2), np.radians(lat0)
+    n = (np.log(m(p1)) - np.log(m(p2))) / (np.log(t(p1)) - np.log(t(p2)))
+    F_ = m(p1) / (n * t(p1) ** n)
+    rho0 = a * F_ * t(p0) ** n
+
+    def forward(lon_deg, lat_deg):
+        phi, lam = np.radians(lat_deg), np.radians(lon_deg)
+        rho = a * F_ * t(phi) ** n
+        theta = n * (lam - np.radians(lon0))
+        x = fe + rho * np.sin(theta)
+        y = fn + rho0 - rho * np.cos(theta)
+        return x, y
+
+    rng = np.random.default_rng(17)
+    lon = rng.uniform(-140, -50, 500)
+    lat = rng.uniform(35, 80, 500)
+    x, y = forward(lon, lat)
+    lon2, lat2_ = lcc_inverse(x, y)
+    # sub-centimetre: 1e-9 degrees ≈ 0.1 mm
+    assert np.abs(lon2 - lon).max() < 1e-9
+    assert np.abs(lat2_ - lat).max() < 1e-9
