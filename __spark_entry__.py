@@ -683,6 +683,35 @@ def _stac_flagship(spark, sf_dir):
     return items.select("id", "collection_id", "cell_s2", "cell_hex", "tile_id", "stac_json")
 
 
+def _q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: the fact joined against TWO roles of the same
+    dimension (supplier nation and customer nation, both broadcast) with a
+    symmetric nation-pair filter and per-year rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    j = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("s_nk"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), c.c_nationkey == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+            | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+        )
+    )
+    rev = F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount")))
+    return j.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")).agg(
+        F.round(rev.cast("double"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
 def _events_lag_delta(spark, sf_dir):
     """Per-user event-time gap + value delta via lag windows (the
     change-point-feature shape; one shuffle keyed on user_id)."""
@@ -882,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stac_valid_split": _stac_valid_split,
         "stac_items_sql": _stac_items_sql,
         "cosine_neardup": _cosine_neardup,
+        "q7_nation_volume": _q7_nation_volume,
         "events_lag_delta": _events_lag_delta,
         "events_cube": _events_cube,
         "q18_large_orders": _q18_large_orders,
@@ -1403,6 +1433,23 @@ def oracle_sql() -> dict[str, str]:
                       ELSE 'null' END
                    || '}}' AS stac_json
             FROM tiled
+        """,
+        "q7_nation_volume": f"""
+            SELECT supp_nation, cust_nation, l_year,
+                   ROUND({rev}, 2) AS revenue, COUNT(*) AS n_lineitems
+            FROM (
+              SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     EXTRACT(year FROM l_shipdate) AS l_year,
+                     l_extendedprice, l_discount
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+                 OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+            ) GROUP BY supp_nation, cust_nation, l_year
         """,
         "events_lag_delta": """
             SELECT user_id, event_id,
