@@ -683,6 +683,31 @@ def _stac_flagship(spark, sf_dir):
     return items.select("id", "collection_id", "cell_s2", "cell_hex", "tile_id", "stac_json")
 
 
+def _q2_cheapest_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: argmin join-back — per-part minimum price computed
+    as a grouped aggregate, then re-joined on (key, min) equality to
+    recover the achieving rows, deterministic supplier tie-break."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    per_part = li.groupBy("l_partkey").agg(
+        F.min(_dec("l_extendedprice")).alias("min_price")
+    )
+    winners = (
+        li.join(per_part, (li.l_partkey == per_part.l_partkey)
+                & (_dec("l_extendedprice") == F.col("min_price")))
+        .drop(per_part.l_partkey)
+        .groupBy("l_partkey", "min_price")
+        .agg(F.min("l_suppkey").alias("best_suppkey"))
+    )
+    return (
+        winners.join(p, winners.l_partkey == p.p_partkey)
+        .select(
+            "p_partkey", "p_name", "best_suppkey",
+            F.round(F.col("min_price").cast("double"), 2).alias("min_price"),
+        )
+    )
+
+
 def _q7_nation_volume(spark, sf_dir):
     """TPC-H Q7 shape: the fact joined against TWO roles of the same
     dimension (supplier nation and customer nation, both broadcast) with a
@@ -911,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stac_valid_split": _stac_valid_split,
         "stac_items_sql": _stac_items_sql,
         "cosine_neardup": _cosine_neardup,
+        "q2_cheapest_supplier": _q2_cheapest_supplier,
         "q7_nation_volume": _q7_nation_volume,
         "events_lag_delta": _events_lag_delta,
         "events_cube": _events_cube,
@@ -1433,6 +1459,22 @@ def oracle_sql() -> dict[str, str]:
                       ELSE 'null' END
                    || '}}' AS stac_json
             FROM tiled
+        """,
+        "q2_cheapest_supplier": f"""
+            WITH per_part AS (
+              SELECT l_partkey, MIN({dec.format(c='l_extendedprice')}) AS min_price
+              FROM lineitem GROUP BY l_partkey
+            ), winners AS (
+              SELECT li.l_partkey, per_part.min_price, MIN(li.l_suppkey) AS best_suppkey
+              FROM lineitem li JOIN per_part
+                ON li.l_partkey = per_part.l_partkey
+               AND {dec.format(c='li.l_extendedprice')} = per_part.min_price
+              GROUP BY li.l_partkey, per_part.min_price
+            )
+            SELECT p_partkey, p_name, best_suppkey,
+                   ROUND(CAST(min_price AS DOUBLE), 2) AS min_price
+            FROM winners JOIN part ON l_partkey = p_partkey
+            WHERE p_size <= 5
         """,
         "q7_nation_volume": f"""
             SELECT supp_nation, cust_nation, l_year,

@@ -191,6 +191,7 @@ def cf_items(df: DataFrame, json_col: str = "value", id_col: str | None = "path"
     """DataFrame of CF-dict JSON strings → item records (mapInPandas)."""
 
     def run(batches):
+        cols = [f.name for f in CF_ITEM_SCHEMA.fields]
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -199,9 +200,14 @@ def cf_items(df: DataFrame, json_col: str = "value", id_col: str | None = "path"
                 fallback = str(r[id_col]) if id_col and id_col in pdf.columns else ""
                 try:
                     doc = json.loads(r[json_col])
-                except (json.JSONDecodeError, TypeError):
-                    continue  # dead-letter path handles malformed docs upstream
-                rows.append(parse_cf_document(doc, fallback_id=fallback))
-            yield pd.DataFrame(rows, columns=[f.name for f in CF_ITEM_SCHEMA.fields])
+                    rows.append(parse_cf_document(doc, fallback_id=fallback))
+                except (json.JSONDecodeError, TypeError) as exc:
+                    # dead-letter contract: malformed documents are ROUTED,
+                    # never silently dropped (reference populators.py:268-274)
+                    row = {c: None for c in cols}
+                    row["id"] = fallback
+                    row["geo_error"] = f"malformed_cf_json: {str(exc)[:200]}"
+                    rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
 
     return df.mapInPandas(run, schema=CF_ITEM_SCHEMA)

@@ -78,3 +78,20 @@ def test_assets_from_fixture_access_urls(spark, cf_df):
     assert assets["HTTPServer"]["type"] == "application/x-netcdf"
     assert list(assets["HTTPServer"]["roles"]) == ["data"]
     assert assets["NCML"]["type"] == "application/xml"
+
+
+def test_malformed_cf_json_routed_not_dropped(spark):
+    # dead-letter contract: a corrupt document yields an error-tagged row
+    # (reference populators.py:268-274 isolates per-item failures)
+    import pandas as pd
+
+    from stac_populator_spark.sources.cfattrs import cf_items
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"value": ["{not json", '{"attributes": {}}'],
+                      "path": ["bad.json", "ok.json"]})
+    )
+    rows = {r["id"]: r for r in cf_items(df).collect()}
+    assert len(rows) == 2  # nothing silently dropped
+    assert rows["bad.json"]["geo_error"].startswith("malformed_cf_json")
+    assert rows["ok.json"]["geo_error"] is None
