@@ -52,6 +52,35 @@ def windowed_collection_counts(
     )
 
 
+def stream_dedup_pages(
+    pages_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    late_s: int = 3600,
+    key_col: str = "url",
+    ts_col: str = "warc_ts",
+):
+    """Streaming exact-dedup of a crawl feed with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps each seen key only until the
+    watermark passes it, so re-crawled pages arriving within ``late_s`` of
+    the original are dropped while state stays O(keys-per-window) instead
+    of O(all keys ever) — the streaming reading of the batch exact-dedup
+    contract (reference export.py:102-114) that a 10^12-row feed needs
+    (an unbounded dropDuplicates would OOM its state store)."""
+    deduped = (
+        pages_stream.withWatermark(ts_col, f"{late_s} seconds")
+        .dropDuplicatesWithinWatermark([key_col])
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_windowed_counts(
     pages_stream: DataFrame,
     cover: DataFrame,

@@ -168,6 +168,30 @@ def test_stream_windowed_counts_drops_late_rows(spark, tmp_path, cover):
     assert late_rows == []
 
 
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    from stac_populator_spark.streaming.ingest import read_pages_stream
+    from stac_populator_spark.streaming.windows import stream_dedup_pages
+
+    src = str(tmp_path / "pages_dd")
+    out = str(tmp_path / "dd_out")
+    cp = str(tmp_path / "cp_dd")
+    # the same 150 pages written twice (a re-crawl inside the watermark
+    # horizon) plus 50 unique ones
+    _write_pages_files(spark, src, [(0, 150)])
+    _write_pages_files(spark, src, [(0, 150)])
+    _write_pages_files(spark, src, [(150, 50)])
+    q = stream_dedup_pages(read_pages_stream(spark, src), out, cp, late_s=10**6)
+    q.awaitTermination(180)
+    got = spark.read.parquet(out)
+    assert got.count() == 200  # duplicates dropped
+    assert got.select("url").distinct().count() == 200
+    # resume: re-delivering old files adds nothing new
+    _write_pages_files(spark, src, [(0, 100)])
+    q2 = stream_dedup_pages(read_pages_stream(spark, src), out, cp, late_s=10**6)
+    q2.awaitTermination(180)
+    assert spark.read.parquet(out).select("url").distinct().count() == 200
+
+
 def test_decode_stub_contract():
     with pytest.raises(NotImplementedError):
         decode_image(b"abc")
