@@ -895,6 +895,230 @@ def _stac_items_sql(spark, sf_dir):
     return items.select("id", "collection_id", "tile_id", "n_chars", "stac_json")
 
 
+def _q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS — orders in a date window that
+    have at least one lineitem shipped after the order date. The
+    correlated subquery becomes a LEFT SEMI join (one shuffle on
+    orderkey, no fact-side duplication) followed by a tiny agg."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-07-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    hit = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+def _q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: ratio of a conditional aggregate to the total
+    (promo revenue share for one ship month). Single join + single-row
+    result; numerator/denominator both exact DECIMAL before one division
+    in double."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    p = _t(spark, sf_dir, "part")
+    disc = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    return j.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0).cast("decimal(18,4)"))).cast("double")
+            / F.sum(disc).cast("double"),
+            6,
+        ).alias("promo_pct"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+def _q13_order_histogram(spark, sf_dir):
+    """TPC-H Q13 shape: customer order-count distribution. LEFT OUTER
+    join with a predicate restricted to the join's right side (non-urgent
+    orders), per-customer count, then a histogram over the counts —
+    two shuffles total, the second over a tiny key space."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def _q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: argmax against a derived revenue view — the
+    scalar MAX is computed once (single-row broadcast) and equality-joined
+    back on the EXACT decimal total, so ties surface deterministically."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))).alias("total_rev")
+    )
+    m = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(m), rev.total_rev == m.max_rev)
+        .join(s, rev.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_rev").cast("double"), 2).alias("total_rev"),
+        )
+    )
+
+
+def _q17_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity) decorrelated into a grouped aggregate joined back to the
+    fact; the threshold is derived in double from an exact decimal sum so
+    both engines evaluate the same IEEE comparison."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    avg_q = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    j = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(avg_q, li.l_partkey == F.col("a_partkey"))
+        .filter(F.col("l_quantity").cast("double") < F.lit(0.5) * F.col("avg_qty"))
+    )
+    return j.agg(
+        F.round(F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0), 4).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+def _q21_last_shippers(spark, sf_dir):
+    """TPC-H Q21 shape: multi-supplier orders where one supplier shipped
+    last. The double-EXISTS becomes a per-order distinct-supplier count
+    plus a row_number window picking the latest ship line (shipdate DESC,
+    suppkey ASC tie-break) — both over the same orderkey partitioning, so
+    AQE coalesces them into one exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n_supp = li.groupBy(F.col("l_orderkey").alias("o_key")).agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers")
+    )
+    w = Window.partitionBy("l_orderkey").orderBy(F.col("l_shipdate").desc(), F.col("l_suppkey").asc())
+    last = li.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    j = last.join(n_supp, last.l_orderkey == F.col("o_key")).filter(F.col("n_suppliers") >= 2)
+    return (
+        j.join(s, j.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+def _q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: ratio-of-conditional-sum per year — one supplier
+    nation's share of revenue to customers in one region. Two roles of
+    the nation dim (both broadcast) + region, conditional numerator over
+    the same rows as the denominator."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nk"),
+        F.col("n_regionkey").alias("c_rk"),
+    )
+    disc = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), c.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("s_nk"))
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", disc).otherwise(F.lit(0).cast("decimal(18,4)"))).cast("double")
+                / F.sum(disc).cast("double"),
+                6,
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def _q9_profit_by_nation(spark, sf_dir):
+    """TPC-H Q9 shape: profit rollup by supplier nation and year with a
+    part-attribute LIKE filter; cost is synthesized from p_retailprice
+    (the fixture has no partsupp table) — the join/agg shape is what's
+    exercised: fact ⨝ part ⨝ supplier ⨝ broadcast nation, two-key agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    rev_term = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
+    cost_term = _dec("p_retailprice") * _dec("l_quantity")
+    j = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    )
+    # revenue and cost are summed exactly in DECIMAL; the 0.5 scaling and
+    # the subtraction happen once per group in double (both IEEE-exact
+    # here), so the DuckDB mirror evaluates the identical expression tree.
+    return j.groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year")).agg(
+        F.round(
+            F.sum(rev_term).cast("double") - F.lit(0.5) * F.sum(cost_term).cast("double"), 2
+        ).alias("sum_profit"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+def _q10_returned_revenue(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by revenue of RETURNED lineitems
+    in a quarter — 4-way join, per-customer agg, global top-k via
+    TakeOrderedAndProject (no full sort)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.sum(_dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(rev.cast("double"), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def _docs_ntile(spark, sf_dir):
+    """Per-language document-length quartiles via NTILE — the
+    percentile-bucketing window shape (one shuffle keyed on lang; total
+    order pinned by a doc_id tie-break so both engines bucket
+    identically)."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("lang", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing_summary,
@@ -944,6 +1168,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_revenue": _q19_disjunctive_revenue,
         "q22_idle_customers": _q22_idle_customers,
         "q16_part_supplier_counts": _q16_part_supplier_counts,
+        "q4_order_priority": _q4_order_priority,
+        "q14_promo_revenue": _q14_promo_revenue,
+        "q13_order_histogram": _q13_order_histogram,
+        "q15_top_supplier": _q15_top_supplier,
+        "q17_small_qty_revenue": _q17_small_qty_revenue,
+        "q21_last_shippers": _q21_last_shippers,
+        "q8_market_share": _q8_market_share,
+        "q9_profit_by_nation": _q9_profit_by_nation,
+        "q10_returned_revenue": _q10_returned_revenue,
+        "docs_ntile": _docs_ntile,
     }
 
 
@@ -1579,6 +1813,127 @@ def oracle_sql() -> dict[str, str]:
                         WHEN lang NOT IN ('en','es','de','fr','pt','ja','ru') THEN 'cv_lang'
                    END AS failure_reason
             FROM documents
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+            GROUP BY o_orderpriority
+        """,
+        "q14_promo_revenue": f"""
+            SELECT ROUND(
+                     100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                           THEN {dec.format(c='l_extendedprice')} * (CAST(1 AS DECIMAL(18,4)) - {dec.format(c='l_discount')})
+                           ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                     / {rev}, 6) AS promo_pct,
+                   COUNT(*) AS n_lineitems
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= DATE '1997-03-01' AND l_shipdate < DATE '1997-04-01'
+        """,
+        "q13_order_histogram": """
+            SELECT c_count, COUNT(*) AS custdist
+            FROM (
+              SELECT c_custkey, COUNT(o_orderkey) AS c_count
+              FROM customer LEFT OUTER JOIN orders
+                ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey
+            ) GROUP BY c_count
+        """,
+        "q15_top_supplier": f"""
+            WITH r AS (
+              SELECT l_suppkey, SUM({dec.format(c='l_extendedprice')} *
+                     (CAST(1 AS DECIMAL(18,4)) - {dec.format(c='l_discount')})) AS total_rev
+              FROM lineitem
+              WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+              GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, ROUND(CAST(total_rev AS DOUBLE), 2) AS total_rev
+            FROM r JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_rev = (SELECT MAX(total_rev) FROM r)
+        """,
+        "q17_small_qty_revenue": f"""
+            WITH a AS (
+              SELECT l_partkey AS a_partkey,
+                     CAST(SUM({dec.format(c='l_quantity')}) AS DOUBLE) / COUNT(*) AS avg_qty
+              FROM lineitem GROUP BY l_partkey
+            )
+            SELECT ROUND(CAST(SUM({dec.format(c='l_extendedprice')}) AS DOUBLE) / 7.0, 4) AS avg_yearly,
+                   COUNT(*) AS n_lineitems
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN a ON l_partkey = a_partkey
+            WHERE p_brand = 'Brand#1'
+              AND CAST(l_quantity AS DOUBLE) < 0.5 * avg_qty
+        """,
+        "q21_last_shippers": """
+            WITH ns AS (
+              SELECT l_orderkey AS o_key, COUNT(DISTINCT l_suppkey) AS n_suppliers
+              FROM lineitem GROUP BY l_orderkey
+            ), last AS (
+              SELECT l_orderkey, l_suppkey
+              FROM (
+                SELECT l_orderkey, l_suppkey,
+                       ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                         ORDER BY l_shipdate DESC, l_suppkey ASC) AS rn
+                FROM lineitem
+              ) WHERE rn = 1
+            )
+            SELECT s_suppkey, s_name, COUNT(*) AS numwait
+            FROM last JOIN ns ON l_orderkey = o_key
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE n_suppliers >= 2
+            GROUP BY s_suppkey, s_name
+        """,
+        "q8_market_share": f"""
+            SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+                   ROUND(CAST(SUM(CASE WHEN n1.n_name = 'NATION_5'
+                         THEN {dec.format(c='l_extendedprice')} * (CAST(1 AS DECIMAL(18,4)) - {dec.format(c='l_discount')})
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                     / {rev}, 6) AS mkt_share,
+                   COUNT(*) AS n_lineitems
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            JOIN region ON n2.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            WHERE r_name = 'ASIA'
+            GROUP BY 1
+        """,
+        "q9_profit_by_nation": f"""
+            SELECT n_name AS nation, EXTRACT(year FROM l_shipdate) AS o_year,
+                   ROUND({rev} - 0.5 * CAST(SUM({dec.format(c='p_retailprice')} * {dec.format(c='l_quantity')}) AS DOUBLE), 2) AS sum_profit,
+                   COUNT(*) AS n_lineitems
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%bolt%'
+            GROUP BY 1, 2
+        """,
+        "q10_returned_revenue": f"""
+            SELECT c_custkey, c_name, n_name, ROUND({rev}, 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-04-01'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+        """,
+        "docs_ntile": """
+            SELECT lang, quartile, COUNT(*) AS n_docs,
+                   MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+            FROM (
+              SELECT lang, doc_id, n_chars,
+                     NTILE(4) OVER (PARTITION BY lang
+                       ORDER BY n_chars ASC, doc_id ASC) AS quartile
+              FROM documents
+            ) GROUP BY lang, quartile
         """,
     }
 
