@@ -1119,6 +1119,21 @@ def _docs_ntile(spark, sf_dir):
     )
 
 
+def _doc_repetition(spark, sf_dir):
+    """Gopher-style repetition filter signals per document — computed
+    shuffle-free (sorted-array run-length scan inside one projection; see
+    operators/textstats.py::with_repetition_stats). The DuckDB oracle
+    recomputes the same numbers with unnest+groupBy — different mechanism,
+    identical values."""
+    from stac_populator_spark.operators.textstats import with_repetition_stats
+
+    d = with_repetition_stats(_t(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id", "n_tokens", "n_distinct", "top_tok_share",
+        "dup_2gram_frac", "rep_flag",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing_summary,
@@ -1178,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_profit_by_nation": _q9_profit_by_nation,
         "q10_returned_revenue": _q10_returned_revenue,
         "docs_ntile": _docs_ntile,
+        "doc_repetition": _doc_repetition,
     }
 
 
@@ -1934,6 +1950,36 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY n_chars ASC, doc_id ASC) AS quartile
               FROM documents
             ) GROUP BY lang, quartile
+        """,
+        "doc_repetition": r"""
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+              FROM documents
+            ), counts AS (
+              SELECT doc_id, tok, COUNT(*) AS c
+              FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+              GROUP BY doc_id, tok
+            ), tokstats AS (
+              SELECT doc_id, CAST(SUM(c) AS INT) AS n_tokens,
+                     CAST(COUNT(*) AS INT) AS n_distinct,
+                     MAX(c) AS max_c
+              FROM counts GROUP BY doc_id
+            ), gramstats AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) < 2 THEN 0.0
+                          ELSE 1.0 - len(list_distinct(
+                                 list_transform(generate_series(1, len(t) - 1),
+                                                i -> t[i] || ' ' || t[i + 1])))
+                               / (len(t) - 1) END AS dup_raw
+              FROM toks
+            )
+            SELECT ts.doc_id, ts.n_tokens, ts.n_distinct,
+                   ROUND(max_c / greatest(n_tokens, 1), 6) AS top_tok_share,
+                   ROUND(dup_raw, 6) AS dup_2gram_frac,
+                   CASE WHEN ROUND(max_c / greatest(n_tokens, 1), 6) > 0.2 THEN 'repetitive'
+                        WHEN ROUND(n_distinct / greatest(n_tokens, 1), 6) < 0.3 THEN 'low_diversity'
+                        ELSE 'ok' END AS rep_flag
+            FROM tokstats ts JOIN gramstats g ON ts.doc_id = g.doc_id
         """,
     }
 

@@ -22,7 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "1000000"))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "4000000"))
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
 def materialize(df):
@@ -66,12 +67,14 @@ def main():
     # scan+agg so the first timed query measures the query, not JVM boot
     materialize(qs["q1_pricing_summary"](spark, SF_DIR))
 
-    # min-of-2 per query: single-run walls vary ±20% on a shared box
-    # (scheduler noise is strictly additive, so min is the right estimator)
+    # min-of-N per query: the box shares its cores with other tenants
+    # (load-average spikes with zero local processes), so single-run walls
+    # are bimodal — up to 4x when a co-tenant bursts. Contention noise is
+    # strictly additive, so min over N runs is the right estimator.
     timings: dict[str, float] = {}
     for name in headline:
         walls = []
-        for _ in range(2):
+        for _ in range(RUNS):
             t0 = time.time()
             materialize(qs[name](spark, SF_DIR))
             walls.append(time.time() - t0)
@@ -89,11 +92,12 @@ def main():
         pages_df(spark, N_PAGES, partitions=CPUS * 2).write.mode("overwrite").parquet(pages_path)
     cover = footprint_cover_df(spark, footprints_pdf())
     pages = spark.read.parquet(pages_path)
-    # warmup (JIT + Arrow init), then min-of-2 — first-run codegen/JIT
-    # costs several seconds and is not throughput
+    # warmup (JIT + Arrow init), then min-of-N — first-run codegen/JIT
+    # costs several seconds and is not throughput; N_PAGES defaults to 4M
+    # so the ~2s fixed job overhead stays under 10% of the measured wall
     materialize(build_items(pages.limit(2000), cover))
     walls = []
-    for _ in range(2):
+    for _ in range(RUNS):
         t0 = time.time()
         materialize(build_items(pages, cover))
         walls.append(time.time() - t0)

@@ -98,6 +98,59 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition quality signals (the Gopher-rule family, public: Rae et
+    al. 2021 §A1.1): per document —
+
+    - ``top_tok_share``  — count of the most frequent token / n_tokens
+    - ``dup_2gram_frac`` — 1 − distinct-2-grams / total-2-grams
+    - ``distinct_ratio`` — distinct tokens / n_tokens
+    - ``rep_flag``       — 'repetitive' | 'low_diversity' | 'ok'
+
+    Scale design: everything is computed INSIDE one narrow projection —
+    the most-frequent-token count comes from a linear run-length scan over
+    the sorted token array (``aggregate`` with a struct accumulator), not
+    from the wordcount explode+groupBy formulation, so at 10^12 documents
+    this stage shuffles NOTHING and pipelines with extraction."""
+    toks = tokens_col(text_col)
+    n_toks = F.size(toks)
+    sorted_toks = F.array_sort(toks)
+    zero = F.lit(0).cast("long")
+    state0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        zero.alias("run"),
+        zero.alias("best"),
+    )
+
+    def step(s, t):
+        run = F.when(t.eqNullSafe(s["prev"]), s["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(t.alias("prev"), run.alias("run"), F.greatest(s["best"], run).alias("best"))
+
+    max_tok_count = F.aggregate(sorted_toks, state0, step, lambda s: s["best"])
+    n2 = n_toks - 1
+    idx = F.sequence(F.lit(0), F.greatest(n2 - 1, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)))
+    dup_2gram = F.when(
+        n2 < 1, F.lit(0.0)
+    ).otherwise(F.lit(1.0) - F.size(F.array_distinct(grams)) / n2)
+    d = (
+        df.withColumn("n_tokens", n_toks)
+        .withColumn("n_distinct", F.size(F.array_distinct(toks)))
+        .withColumn("top_tok_share", F.round(max_tok_count / F.greatest(n_toks, F.lit(1)), 6))
+        .withColumn("dup_2gram_frac", F.round(dup_2gram, 6))
+        .withColumn(
+            "distinct_tok_ratio",
+            F.round(F.size(F.array_distinct(toks)) / F.greatest(n_toks, F.lit(1)), 6),
+        )
+    )
+    return d.withColumn(
+        "rep_flag",
+        F.when(F.col("top_tok_share") > 0.2, "repetitive")
+        .when(F.col("distinct_tok_ratio") < 0.3, "low_diversity")
+        .otherwise("ok"),
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit rolling hash over tokens: fp = fold(tokens, 0,
     xxhash64(acc, tok)) — hash chaining as a single JVM ``aggregate``

@@ -193,6 +193,28 @@ def test_lang_id(spark):
     assert out[4] == "unknown"
 
 
+def test_repetition_stats_hand_computed(spark):
+    from stac_populator_spark.operators.textstats import with_repetition_stats
+
+    rows = [
+        (0, "a b a b a b c"),          # 7 toks, 'a'×3 → top 3/7; 2-grams: 6 total, 3 distinct → dup 0.5
+        (1, "one two three four"),      # all distinct → top 1/4, dup 0.0
+        (2, "spam spam spam spam"),     # top 1.0, 2-grams all 'spam spam' → dup 2/3
+        (3, "solo"),                    # single token → n2<1 → dup 0.0
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = {r["doc_id"]: r for r in with_repetition_stats(df).collect()}
+    assert out[0]["n_tokens"] == 7 and out[0]["n_distinct"] == 3
+    assert out[0]["top_tok_share"] == round(3 / 7, 6)
+    assert out[0]["dup_2gram_frac"] == 0.5
+    assert out[0]["rep_flag"] == "repetitive"
+    assert out[1]["top_tok_share"] == 0.25 and out[1]["dup_2gram_frac"] == 0.0
+    assert out[1]["rep_flag"] == "repetitive"  # 1/4 = 0.25 > 0.2 (tiny doc)
+    assert out[2]["top_tok_share"] == 1.0
+    assert out[2]["dup_2gram_frac"] == round(1 - 1 / 3, 6)
+    assert out[3]["dup_2gram_frac"] == 0.0 and out[3]["top_tok_share"] == 1.0
+
+
 def test_fingerprint_deterministic_and_discriminative(spark, corpus):
     f1 = {r["doc_id"]: r["fingerprint"] for r in with_fingerprint(corpus).collect()}
     f2 = {r["doc_id"]: r["fingerprint"] for r in with_fingerprint(corpus.repartition(3)).collect()}
