@@ -125,3 +125,35 @@ def test_lsh_bucket_cap_plan_bounded(spark):
     plan = plan_of(minhash_candidates(minhash_signatures(docs)))
     assert "CartesianProduct" not in plan
     assert "Window" in plan
+
+
+def test_repetition_stats_zero_exchange(spark, pages_path):
+    # the repetition quality filter must pipeline with the scan: all
+    # signals come from array expressions in ONE narrow projection —
+    # any Exchange here would mean a wordcount-style shuffle snuck in
+    import pandas as pd
+
+    from stac_populator_spark.operators.textstats import with_repetition_stats
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(10), "text": [f"w{i} x y z w{i}" for i in range(10)]})
+    )
+    plan = plan_of(
+        with_repetition_stats(docs).select("doc_id", "top_tok_share", "dup_2gram_frac")
+    )
+    assert " Exchange (" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_exists_shape_is_semi_join(spark):
+    # the Q4 correlated-EXISTS shape must compile to one LEFT SEMI join
+    # (no fact duplication, no subquery re-scan per row)
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+
+    df = E.queries()["q4_order_priority"](spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
