@@ -1134,6 +1134,32 @@ def _doc_repetition(spark, sf_dir):
     )
 
 
+def _doc_chunks(spark, sf_dir):
+    """Token-window chunking (training-data assembly): each document →
+    ceil(n/40) fixed 40-token windows, last ragged. Narrow fan-out —
+    no shuffle; verified against a DuckDB generate_series + list_slice
+    mirror including the chunk text md5."""
+    from stac_populator_spark.operators.chunking import chunk_documents
+
+    c = chunk_documents(_t(spark, sf_dir, "documents"), chunk_tokens=40)
+    return c.select(
+        "doc_id", "chunk_idx", "chunk_len", F.md5("chunk_text").alias("chunk_md5")
+    )
+
+
+def _train_val_split(spark, sf_dir):
+    """Deterministic hash-stratified train/val/test split audit: per
+    (lang, split) document counts — reproducible across runs, cluster
+    sizes and partitionings (md5-bucket, no RNG)."""
+    from stac_populator_spark.operators.chunking import with_train_val_split
+
+    d = with_train_val_split(_t(spark, sf_dir, "documents"))
+    return d.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing_summary,
@@ -1194,6 +1220,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_revenue": _q10_returned_revenue,
         "docs_ntile": _docs_ntile,
         "doc_repetition": _doc_repetition,
+        "doc_chunks": _doc_chunks,
+        "train_val_split": _train_val_split,
     }
 
 
@@ -1980,6 +2008,34 @@ def oracle_sql() -> dict[str, str]:
                         WHEN ROUND(n_distinct / greatest(n_tokens, 1), 6) < 0.3 THEN 'low_diversity'
                         ELSE 'ok' END AS rep_flag
             FROM tokstats ts JOIN gramstats g ON ts.doc_id = g.doc_id
+        """,
+        "doc_chunks": r"""
+            WITH d AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+              FROM documents
+            ), c AS (
+              SELECT doc_id, t,
+                     unnest(generate_series(0,
+                       greatest(CAST(ceil(len(t) / 40.0) AS INT) - 1, 0))) AS chunk_idx
+              FROM d
+            )
+            SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+                   CAST(len(list_slice(t, chunk_idx * 40 + 1, chunk_idx * 40 + 40)) AS INT) AS chunk_len,
+                   md5(array_to_string(list_slice(t, chunk_idx * 40 + 1, chunk_idx * 40 + 40), ' ')) AS chunk_md5
+            FROM c
+        """,
+        "train_val_split": """
+            SELECT lang,
+                   CASE WHEN b < 90 THEN 'train'
+                        WHEN b < 95 THEN 'val'
+                        ELSE 'test' END AS split,
+                   COUNT(*) AS n_docs,
+                   SUM(n_chars) AS total_chars
+            FROM (
+              SELECT lang, n_chars,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+              FROM documents
+            ) GROUP BY 1, 2
         """,
     }
 

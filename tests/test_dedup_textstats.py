@@ -319,3 +319,32 @@ def test_cosine_near_duplicates(spark, vectors):
     pairs = {(r["a"], r["b"]): r["cos"] for r in cosine_near_duplicates(vectors, threshold=0.99, dim=16).collect()}
     assert (3, 7) in pairs and pairs[(3, 7)] > 0.999
     assert all(v >= 0.99 for v in pairs.values())
+
+
+def test_chunk_documents_hand_computed(spark):
+    from stac_populator_spark.operators.chunking import chunk_documents, with_train_val_split
+
+    rows = [(0, " ".join(f"t{i}" for i in range(7))), (1, "a b c")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = chunk_documents(df, chunk_tokens=3).collect()
+    by = {(r["doc_id"], r["chunk_idx"]): r for r in out}
+    assert len(by) == 3 + 1                      # 7 toks → 3 chunks; 3 toks → 1
+    assert by[(0, 0)]["chunk_text"] == "t0 t1 t2"
+    assert by[(0, 2)]["chunk_text"] == "t6" and by[(0, 2)]["chunk_len"] == 1
+    assert by[(1, 0)]["chunk_len"] == 3
+    # split determinism: same ids → same split regardless of partitioning
+    s1 = {r["doc_id"]: r["split"] for r in with_train_val_split(df).collect()}
+    s2 = {r["doc_id"]: r["split"] for r in with_train_val_split(df.repartition(5)).collect()}
+    assert s1 == s2
+
+
+def test_chunking_plan_is_narrow(spark):
+    import contextlib, io
+
+    from stac_populator_spark.operators.chunking import chunk_documents
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(10), "text": ["a b c d e"] * 10}))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        chunk_documents(df).explain("formatted")
+    assert " Exchange (" not in buf.getvalue()
