@@ -83,3 +83,56 @@ def stream_collection_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_items_upsert(
+    pages_stream: DataFrame,
+    cover: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming MERGE sink — the streaming form of the reference's
+    POST → 409 → PUT upsert loop (api_requests.py:102-149): each
+    micro-batch upserts into the keyed items table via foreachBatch +
+    sources.merge.merge_upsert, so a re-crawled url REPLACES its previous
+    item row instead of appending a duplicate.
+
+    Key = (id, collection_id): a page overlapping k footprints is k item
+    rows, each its own upsert target. The streaming checkpoint makes the
+    query resumable; merge_upsert is idempotent, so a micro-batch replay
+    after a crash converges to the same table (at-least-once delivery +
+    idempotent sink = effectively exactly-once)."""
+    from pyspark.sql import functions as F
+
+    from ..sources.merge import merge_upsert
+
+    items = build_items(pages_stream, cover).withColumn(
+        "merge_key",
+        F.concat_ws("|", F.col("id"), F.coalesce(F.col("collection_id"), F.lit(""))),
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        # a micro-batch can contain the same url twice (original + re-crawl
+        # in one trigger): last-write-wins on warc_ts, id tie-break — the
+        # winner is deterministic, never dropDuplicates' arbitrary pick
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("merge_key").orderBy(
+            F.col("warc_ts").desc_nulls_last(), F.col("id").asc()
+        )
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        merge_upsert(batch_df.sparkSession, table_path, latest, key="merge_key")
+
+    writer = (
+        items.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
