@@ -1062,19 +1062,20 @@ def _q9_profit_by_nation(spark, sf_dir):
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     rev_term = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - _dec("l_discount"))
-    cost_term = _dec("p_retailprice") * _dec("l_quantity")
+    # halving the retail price in DOUBLE is exact (x/2 never rounds) and the
+    # result still fits scale 4, so cost stays an EXACT decimal — the whole
+    # profit is then one exact decimal sum, rounded once with ROUND(dec, 2)
+    # (half-away-from-zero in BOTH engines; decimal CAST truncates in
+    # DuckDB, and rounding the group total as a DOUBLE had a genuine .xx5
+    # tie at sf0.1 that the engines broke differently).
+    cost_term = (F.col("p_retailprice") / 2).cast("decimal(18,4)") * _dec("l_quantity")
     j = (
         li.join(p, li.l_partkey == p.p_partkey)
         .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
     )
-    # revenue and cost are summed exactly in DECIMAL; the 0.5 scaling and
-    # the subtraction happen once per group in double (both IEEE-exact
-    # here), so the DuckDB mirror evaluates the identical expression tree.
     return j.groupBy(F.col("n_name").alias("nation"), F.year("l_shipdate").alias("o_year")).agg(
-        F.round(
-            F.sum(rev_term).cast("double") - F.lit(0.5) * F.sum(cost_term).cast("double"), 2
-        ).alias("sum_profit"),
+        F.round(F.sum(rev_term - cost_term), 2).cast("double").alias("sum_profit"),
         F.count(F.lit(1)).alias("n_lineitems"),
     )
 
@@ -1949,7 +1950,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q9_profit_by_nation": f"""
             SELECT n_name AS nation, EXTRACT(year FROM l_shipdate) AS o_year,
-                   ROUND({rev} - 0.5 * CAST(SUM({dec.format(c='p_retailprice')} * {dec.format(c='l_quantity')}) AS DOUBLE), 2) AS sum_profit,
+                   CAST(ROUND(SUM(
+                     {dec.format(c='l_extendedprice')} * (CAST(1 AS DECIMAL(18,4)) - {dec.format(c='l_discount')})
+                     - CAST(p_retailprice / 2 AS DECIMAL(18,4)) * {dec.format(c='l_quantity')}
+                   ), 2) AS DOUBLE) AS sum_profit,
                    COUNT(*) AS n_lineitems
             FROM lineitem
             JOIN part ON l_partkey = p_partkey
