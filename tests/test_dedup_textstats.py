@@ -348,3 +348,26 @@ def test_chunking_plan_is_narrow(spark):
     with contextlib.redirect_stdout(buf):
         chunk_documents(df).explain("formatted")
     assert " Exchange (" not in buf.getvalue()
+
+
+def test_chunk_roundtrip_property(spark):
+    # reassembly law over 200 random docs: joining a doc's chunks in
+    # chunk_idx order reproduces its token stream exactly, chunk count is
+    # ceil(n/k), every chunk but the last is exactly k tokens
+    from stac_populator_spark.operators.chunking import chunk_documents
+
+    rng = np.random.default_rng(7)
+    docs = [
+        (i, " ".join(f"w{rng.integers(0, 50)}" for _ in range(int(rng.integers(1, 120)))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    k = 16
+    out = chunk_documents(df, chunk_tokens=k).toPandas()
+    for doc_id, text in docs:
+        toks = text.split()
+        chunks = out[out.doc_id == doc_id].sort_values("chunk_idx")
+        assert len(chunks) == -(-len(toks) // k)
+        assert " ".join(chunks.chunk_text) == " ".join(toks)
+        assert (chunks.chunk_len.iloc[:-1] == k).all()
+        assert chunks.chunk_len.iloc[-1] == len(toks) - k * (len(chunks) - 1)
