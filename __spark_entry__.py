@@ -997,16 +997,20 @@ def _q21_last_shippers(spark, sf_dir):
     """TPC-H Q21 shape: multi-supplier orders where one supplier shipped
     last. The double-EXISTS becomes a per-order distinct-supplier count
     plus a row_number window picking the latest ship line (shipdate DESC,
-    suppkey ASC tie-break) — both over the same orderkey partitioning, so
-    AQE coalesces them into one exchange."""
+    suppkey ASC tie-break). Both windows share the orderkey partitioning,
+    so lineitem is scanned once and shuffled ONCE (a groupBy-distinct +
+    join-back formulation would scan and shuffle it twice)."""
     li = _t(spark, sf_dir, "lineitem")
     s = _t(spark, sf_dir, "supplier")
-    n_supp = li.groupBy(F.col("l_orderkey").alias("o_key")).agg(
-        F.countDistinct("l_suppkey").alias("n_suppliers")
+    w_all = Window.partitionBy("l_orderkey")
+    w_rank = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_shipdate").desc(), F.col("l_suppkey").asc()
     )
-    w = Window.partitionBy("l_orderkey").orderBy(F.col("l_shipdate").desc(), F.col("l_suppkey").asc())
-    last = li.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    j = last.join(n_supp, last.l_orderkey == F.col("o_key")).filter(F.col("n_suppliers") >= 2)
+    j = (
+        li.withColumn("n_suppliers", F.size(F.collect_set("l_suppkey").over(w_all)))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter((F.col("rn") == 1) & (F.col("n_suppliers") >= 2))
+    )
     return (
         j.join(s, j.l_suppkey == s.s_suppkey)
         .groupBy("s_suppkey", "s_name")
