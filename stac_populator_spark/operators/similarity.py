@@ -225,6 +225,62 @@ def ivf_topk(
     )
 
 
+def ivf_write_partitioned(corpus: DataFrame, path: str, vec_col: str = "embedding",
+                          dim: int = 64, k_centroids: int = 16, seed: int = 43,
+                          centroids: np.ndarray | None = None) -> None:
+    """Materialize the corpus partitioned by ``ivf_cluster`` — the storage
+    layout that turns IVF probing into PARTITION PRUNING: a probe query
+    reads only its n_probe clusters' files, never the other k−n_probe
+    directories. This is the 10^12-row story: the inverted lists live in
+    the table layout, not in memory."""
+    ivf_assign(corpus, vec_col, dim, k_centroids, seed, centroids=centroids).write.mode(
+        "overwrite"
+    ).partitionBy("ivf_cluster").parquet(path)
+
+
+def ivf_topk_partitioned(
+    spark,
+    corpus_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+    k_centroids: int = 16,
+    seed: int = 43,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """ivf_topk over an :func:`ivf_write_partitioned` layout: the union of
+    the queries' probe lists becomes an ``isin`` partition filter, so the
+    parquet scan prunes to ≤ n_probe·n_queries cluster directories
+    (PushedFilters/PartitionFilters pinned in tests). The probe-cluster
+    set is collected driver-side — queries are the broadcast-small side by
+    definition (same rule as the footprint cover)."""
+    cents = centroids if centroids is not None else _centroids(dim, k_centroids, seed)
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(_assign_udf(cents, top_n=n_probe)(F.col(vec_col))).alias("ivf_cluster"),
+    )
+    probes = sorted(r["ivf_cluster"] for r in q.select("ivf_cluster").distinct().collect())
+    c = (
+        spark.read.parquet(corpus_path)
+        .filter(F.col("ivf_cluster").isin(probes))
+        .select(F.col(id_col), F.col(vec_col).alias("c_vec"), "ivf_cluster")
+    )
+    cand = c.join(F.broadcast(q), "ivf_cluster").withColumn(
+        "cos", cosine_expr(F.col("q_vec"), F.col("c_vec"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
 def lsh_bands_udf(planes: np.ndarray, n_bands: int, bits_per_band: int):
     """All band signatures in one matmul per Arrow batch: planes is
     (n_bands·bits_per_band, dim); band b's signature packs bits

@@ -371,3 +371,39 @@ def test_chunk_roundtrip_property(spark):
         assert " ".join(chunks.chunk_text) == " ".join(toks)
         assert (chunks.chunk_len.iloc[:-1] == k).all()
         assert chunks.chunk_len.iloc[-1] == len(toks) - k * (len(chunks) - 1)
+
+
+def test_ivf_partitioned_layout_prunes_and_matches(spark, tmp_path, vectors):
+    import contextlib, io
+
+    from pyspark.sql import functions as F
+    from stac_populator_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_partitioned,
+        ivf_write_partitioned,
+    )
+
+    corpus = vectors
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = str(tmp_path / "ivf_corpus")
+    ivf_write_partitioned(corpus, path, dim=16, k_centroids=8)
+    # one cluster directory per assigned cluster
+    import os
+    dirs = [d for d in os.listdir(path) if d.startswith("ivf_cluster=")]
+    assert len(dirs) > 2
+
+    got = ivf_topk_partitioned(spark, path, queries, k=5, n_probe=4, dim=16, k_centroids=8)
+    want = ivf_topk(corpus, queries, k=5, n_probe=4, dim=16, k_centroids=8)
+    key = lambda df: sorted(tuple(r) for r in df.collect())
+    assert key(got) == key(want)
+
+    # the probe filter must reach the scan as a PARTITION filter — the
+    # layout, not the executor, skips the unprobed clusters
+    probes = ivf_topk_partitioned(spark, path, queries, k=5, n_probe=2, dim=16, k_centroids=8)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probes.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters: [ivf_cluster" in plan.replace("#", " #").replace("  ", " ") or "ivf_cluster IN" in plan
