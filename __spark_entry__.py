@@ -1165,6 +1165,27 @@ def _train_val_split(spark, sf_dir):
     )
 
 
+def _training_prep(spark, sf_dir):
+    """The composed training-data prep pipeline in one plan: repetition
+    quality gate → exact-dup collapse (canonical = min doc_id per text
+    hash) → deterministic split assignment → per (lang, split) corpus
+    accounting. Every stage is an operator verified on its own
+    (`doc_repetition`, `dedup_exact`, `train_val_split`); this query
+    verifies their COMPOSITION against one DuckDB mirror."""
+    from stac_populator_spark.operators.chunking import with_train_val_split
+    from stac_populator_spark.operators.textstats import with_repetition_stats
+
+    d = with_repetition_stats(_t(spark, sf_dir, "documents"))
+    ok = d.filter(F.col("rep_flag") == "ok")
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    canon = ok.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    s = with_train_val_split(canon)
+    return s.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing_summary,
@@ -1227,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": _doc_repetition,
         "doc_chunks": _doc_chunks,
         "train_val_split": _train_val_split,
+        "training_prep": _training_prep,
     }
 
 
@@ -2043,6 +2065,44 @@ def oracle_sql() -> dict[str, str]:
               SELECT lang, n_chars,
                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
               FROM documents
+            ) GROUP BY 1, 2
+        """,
+        "training_prep": r"""
+            WITH toks AS (
+              SELECT doc_id, lang, text, string_split_regex(trim(text), '\s+') AS t
+              FROM documents
+            ), counts AS (
+              SELECT doc_id, tok, COUNT(*) AS c
+              FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+              GROUP BY doc_id, tok
+            ), tokstats AS (
+              SELECT doc_id, CAST(SUM(c) AS INT) AS n_tokens,
+                     CAST(COUNT(*) AS INT) AS n_distinct, MAX(c) AS max_c
+              FROM counts GROUP BY doc_id
+            ), flagged AS (
+              SELECT k.doc_id, k.lang, k.text, ts.n_tokens,
+                     CASE WHEN ROUND(max_c / greatest(n_tokens, 1), 6) > 0.2 THEN 'repetitive'
+                          WHEN ROUND(n_distinct / greatest(n_tokens, 1), 6) < 0.3 THEN 'low_diversity'
+                          ELSE 'ok' END AS rep_flag
+              FROM toks k JOIN tokstats ts ON k.doc_id = ts.doc_id
+            ), ok AS (
+              SELECT * FROM flagged WHERE rep_flag = 'ok'
+            ), canon AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                FROM ok
+              ) WHERE rn = 1
+            )
+            SELECT lang,
+                   CASE WHEN b < 90 THEN 'train'
+                        WHEN b < 95 THEN 'val'
+                        ELSE 'test' END AS split,
+                   COUNT(*) AS n_docs,
+                   SUM(n_tokens) AS total_tokens
+            FROM (
+              SELECT lang, n_tokens,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
+              FROM canon
             ) GROUP BY 1, 2
         """,
     }
