@@ -668,6 +668,10 @@ def _stac_valid_split(spark, sf_dir):
 
 
 def _stac_flagship(spark, sf_dir):
+    """The FULL flagship pipeline INCLUDING both spatial cell ids —
+    oracle-checked end to end: the DuckDB mirror recomputes S2 level-12
+    (recursive-CTE Hilbert walk) and the icosa hex res-7 (gnomonic
+    projection SQL) bit-exactly (see ``_flagship_oracle_sql``)."""
     from stac_populator_spark.datagen import pages_from_documents
     from stac_populator_spark.plans.pipeline import build_items
     from stac_populator_spark.operators.spatial_join import footprint_cover_df
@@ -877,9 +881,10 @@ def _stac_items_sql(spark, sf_dir):
     JSON), selecting every SQL-expressible column — id rule, collection
     match, tile id, char count and the byte-exact stac_json document are
     all verified against a DuckDB mirror that re-derives the pages and
-    re-builds the JSON with string ops. Only cell_s2/cell_hex (bit
-    interleave / icosahedron math) are excluded; ``stac_flagship`` keeps
-    them and stays rows-only."""
+    re-builds the JSON with string ops. ``stac_flagship`` additionally
+    mirrors cell_s2/cell_hex in SQL (recursive-CTE Hilbert + gnomonic
+    icosa — see ``_flagship_oracle_sql``); this narrower variant is kept
+    as the fast mirror."""
     from stac_populator_spark.datagen import pages_from_documents
     from stac_populator_spark.plans.pipeline import build_items
     from stac_populator_spark.operators.spatial_join import footprint_cover_df
@@ -1290,6 +1295,204 @@ _LANGS = {
     "ru": ["и", "в", "не", "на", "что", "с", "это", "как"],
     "zh": ["的", "了", "是", "在", "我", "有", "和", "不"],
 }
+
+
+def _flagship_oracle_sql() -> str:
+    """DuckDB mirror of the FULL flagship output including both spatial
+    cell ids — the last two columns that round 2 left rows-only.
+
+    - ``cell_s2``: the complete S2 level-12 encoding in SQL — lat/lon →
+      unit XYZ → cube face/(u,v) → quadratic (s,t) → 30-bit (i,j) →
+      Hilbert position via a 30-step RECURSIVE CTE carrying (pos,
+      orientation) with the public S2 lookup tables inlined as CASE
+      expressions → lsb-marked 64-bit id (signed wrap for faces ≥ 4).
+    - ``cell_hex``: the icosahedral gnomonic aperture-7 encoding in SQL —
+      the 20 face centers/tangent bases (deterministic golden-ratio
+      construction, same data the engine uses — embedded at full float
+      repr, exact round-trip) as a VALUES table, argmax-face by dot
+      product (row_number, face tie-break), gnomonic projection, axial
+      coords, cube rounding with BANKER'S rounding (numpy round-half-even;
+      DuckDB ROUND is half-away) and the two-step cube fix.
+
+    Both verified bit-exact against the numpy encoders on 10k random
+    points AND the flagship's actual coordinate lattice before wiring.
+    Float-parity note: DuckDB's cos/sin/sqrt and numpy's agree bit-for-bit
+    on this platform (both libm doubles); the inputs are fixed test data,
+    so the comparison is deterministic either way."""
+    from stac_populator_spark.functions import icosa as I
+
+    C, U, V = I._CENTERS, I._US, I._VS
+    size, ca, sa = I._res_basis(7)
+    sqrt3 = I._SQRT3
+    faces_rows = ",\n              ".join(
+        f"({fi}, {C[fi,0]!r}, {C[fi,1]!r}, {C[fi,2]!r}, "
+        f"{U[fi,0]!r}, {U[fi,1]!r}, {U[fi,2]!r}, "
+        f"{V[fi,0]!r}, {V[fi,1]!r}, {V[fi,2]!r})"
+        for fi in range(20)
+    )
+
+    def bround(x: str) -> str:
+        # numpy round-half-EVEN; DuckDB ROUND() is half-away — spell it out
+        return (
+            f"(floor({x}) + CASE WHEN {x} - floor({x}) > 0.5 THEN 1 "
+            f"WHEN {x} - floor({x}) < 0.5 THEN 0 "
+            f"ELSE CAST(CAST(floor({x}) AS BIGINT) % 2 != 0 AS INT) END)"
+        )
+
+    ij2pos = (
+        "CASE bits * 4 + (((i >> k) & 1) * 2 + ((j >> k) & 1)) "
+        "WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 3 WHEN 3 THEN 2 "
+        "WHEN 4 THEN 0 WHEN 5 THEN 3 WHEN 6 THEN 1 WHEN 7 THEN 2 "
+        "WHEN 8 THEN 2 WHEN 9 THEN 3 WHEN 10 THEN 1 WHEN 11 THEN 0 "
+        "WHEN 12 THEN 2 WHEN 13 THEN 1 WHEN 14 THEN 3 ELSE 0 END"
+    )
+
+    return f"""
+            WITH RECURSIVE base AS (
+              SELECT doc_id, lang, source,
+                     length('Doc ' || doc_id) + 1 + length(text) AS n_chars,
+                     'https://docs.example/' || source || '/' || doc_id || '.html' AS url,
+                     'docs.example__' || source || '__' || doc_id || '.html' AS id,
+                     (doc_id % 5) != 0 AS has_geo,
+                     ((doc_id*37)%3600)/10.0 - 179.95 AS lon,
+                     ((doc_id*53)%1700)/10.0 - 84.95 AS lat,
+                     STRFTIME(TIMESTAMP '2020-01-01 00:00:00' + (doc_id*977) * INTERVAL 1 SECOND,
+                              '%Y-%m-%dT%H:%M:%SZ') AS dt_str,
+                     STRFTIME(TIMESTAMP '2024-01-01 00:00:00' + (doc_id*137) * INTERVAL 1 SECOND,
+                              '%Y-%m-%dT%H:%M:%SZ') AS crawl_str
+              FROM documents
+            ),
+            -- ==== S2 level-12 (Hilbert via recursive CTE) ====
+            s2xyz AS (
+              SELECT doc_id,
+                     cos(radians(lat))*cos(radians(lon)) AS x,
+                     cos(radians(lat))*sin(radians(lon)) AS y,
+                     sin(radians(lat)) AS z
+              FROM base WHERE has_geo
+            ), s2face AS (
+              SELECT doc_id, x, y, z,
+                     CASE WHEN (CASE bf WHEN 0 THEN x WHEN 1 THEN y ELSE z END) < 0
+                          THEN bf + 3 ELSE bf END AS face
+              FROM (SELECT *, CASE WHEN abs(x) >= abs(y)
+                                   THEN CASE WHEN abs(x) >= abs(z) THEN 0 ELSE 2 END
+                                   ELSE CASE WHEN abs(y) >= abs(z) THEN 1 ELSE 2 END END AS bf
+                    FROM s2xyz)
+            ), s2uv AS (
+              SELECT doc_id, face,
+                CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+                          WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+                CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+                          WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+              FROM s2face
+            ), s2ij AS (
+              SELECT doc_id, face,
+                least(greatest(CAST(floor((CASE WHEN u >= 0 THEN 0.5*sqrt(1+3*u)
+                    ELSE 1-0.5*sqrt(1-3*u) END) * 1073741824.0) AS BIGINT), 0), 1073741823) AS i,
+                least(greatest(CAST(floor((CASE WHEN v >= 0 THEN 0.5*sqrt(1+3*v)
+                    ELSE 1-0.5*sqrt(1-3*v) END) * 1073741824.0) AS BIGINT), 0), 1073741823) AS j
+              FROM s2uv
+            ), s2rec AS (
+              SELECT doc_id, face, i, j, 29 AS k, CAST(0 AS HUGEINT) AS pos, face & 1 AS bits
+              FROM s2ij
+              UNION ALL
+              SELECT doc_id, face, i, j, k - 1,
+                pos * 4 + ({ij2pos}),
+                xor(bits, CASE ({ij2pos}) WHEN 0 THEN 1 WHEN 1 THEN 0 WHEN 2 THEN 0 ELSE 3 END)
+              FROM s2rec WHERE k >= 0
+            ), s2cell AS (
+              SELECT doc_id,
+                CAST(CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616
+                          ELSE h END AS BIGINT) AS cell_s2
+              FROM (SELECT doc_id,
+                           q * 68719476736 + CASE WHEN q % 2 = 0 THEN 68719476736 ELSE 0 END AS h
+                    FROM (SELECT doc_id,
+                                 (CAST(face AS HUGEINT) * 2305843009213693952 + pos * 2 + 1)
+                                   // 68719476736 AS q
+                          FROM s2rec WHERE k = -1))
+            ),
+            -- ==== icosahedral hex res-7 (gnomonic aperture-7) ====
+            hfaces(face, cx, cy, cz, ux, uy, uz, vx, vy, vz) AS (VALUES
+              {faces_rows}),
+            hbest AS (
+              SELECT doc_id, x, y, z, face, ux, uy, uz, vx, vy, vz,
+                     x*cx + y*cy + z*cz AS dot,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                       ORDER BY x*cx + y*cy + z*cz DESC, face ASC) AS rn
+              FROM s2xyz CROSS JOIN hfaces
+            ), huv AS (
+              SELECT doc_id, face,
+                     (x/dot)*ux + (y/dot)*uy + (z/dot)*uz AS u,
+                     (x/dot)*vx + (y/dot)*vy + (z/dot)*vz AS v
+              FROM hbest WHERE rn = 1
+            ), hax AS (
+              SELECT doc_id, face,
+                     ({sqrt3!r}/3.0)*(({ca!r}*u + {sa!r}*v)/{size!r})
+                       - ((-({sa!r})*u + {ca!r}*v)/{size!r})/3.0 AS xf,
+                     (2.0/3.0)*((-({sa!r})*u + {ca!r}*v)/{size!r}) AS zf
+              FROM huv
+            ), hcube AS (
+              SELECT doc_id, face, xf, zf, -xf - zf AS yf,
+                     {bround('xf')} AS rx, {bround('-xf - zf')} AS ry, {bround('zf')} AS rz
+              FROM hax
+            ), hdiff AS (
+              SELECT *, abs(rx - xf) AS dx, abs(ry - yf) AS dy, abs(rz - zf) AS dz FROM hcube
+            ), hfixx AS (
+              SELECT doc_id, face,
+                     CASE WHEN dx > dy AND dx > dz THEN -ry - rz ELSE rx END AS rx,
+                     ry, rz, dx, dy, dz
+              FROM hdiff
+            ), hcell AS (
+              SELECT doc_id,
+                     CAST(7 AS BIGINT) * 36028797018963968
+                     + CAST(face AS BIGINT) * 1125899906842624
+                     + (CAST(rx AS BIGINT) + 16777216) * 33554432
+                     + (CAST(CASE WHEN NOT (dx > dy AND dx > dz) AND dz > dy
+                                  THEN -rx - ry ELSE rz END AS BIGINT) + 16777216) AS cell_hex
+              FROM hfixx
+            ),
+            joined AS (
+              SELECT b.*, f.collection_id
+              FROM base b LEFT JOIN (SELECT 'col-' || CAST(n_nationkey AS VARCHAR) AS collection_id, ((n_nationkey*67)%300) - 159.5 AS f_lon_min, ((n_nationkey*41)%140) - 74.5 AS f_lat_min, ((n_nationkey*67)%300) - 159.5 + 12 + (n_nationkey%9) AS f_lon_max, ((n_nationkey*41)%140) - 74.5 + 8 + (n_nationkey%7) AS f_lat_max FROM nation) f
+                ON b.has_geo
+               AND b.lon >= f.f_lon_min AND b.lon <= f.f_lon_max
+               AND b.lat >= f.f_lat_min AND b.lat <= f.f_lat_max
+            ), tiled AS (
+              SELECT *,
+                     GREATEST(0, LEAST(127, CAST(FLOOR((lon + 180.0) / (360.0/128)) AS INT))) AS tx,
+                     GREATEST(0, LEAST(127, CAST(FLOOR((85.0 - lat) / (170.0/128)) AS INT))) AS ty,
+                     lon::VARCHAR AS ls, lat::VARCHAR AS ts
+              FROM joined
+            )
+            SELECT t.id, t.collection_id,
+                   s2cell.cell_s2 AS cell_s2,
+                   hcell.cell_hex AS cell_hex,
+                   CASE WHEN t.has_geo THEN 'z7/x' || tx || '/y' || ty END AS tile_id,
+                   '{{"type":"Feature","stac_version":"1.0.0","id":"' || t.id || '"'
+                   || CASE WHEN t.collection_id IS NOT NULL
+                           THEN ',"collection":"' || t.collection_id || '"' ELSE '' END
+                   || CASE WHEN t.has_geo
+                           THEN ',"bbox":[' || ls || ',' || ts || ',' || ls || ',' || ts || ']'
+                           ELSE '' END
+                   || ',"properties":{{'
+                   || CASE WHEN t.has_geo THEN '"datetime":"' || dt_str || '",' ELSE '' END
+                   || '"page:title":"Doc ' || t.doc_id
+                   || '","page:language":"' || t.lang
+                   || '","page:n_chars":' || t.n_chars
+                   || ',"page:crawl_ts":"' || crawl_str || '"}}'
+                   || ',"assets":{{"source":{{"href":"' || t.url
+                   || '","type":"text/html","roles":["data"]}}}}'
+                   || ',"geometry":'
+                   || CASE WHEN t.has_geo THEN
+                        '{{"type":"Polygon","coordinates":[[['
+                        || ls || ',' || ts || '],[' || ls || ',' || ts || '],['
+                        || ls || ',' || ts || '],[' || ls || ',' || ts || '],['
+                        || ls || ',' || ts || ']]]}}'
+                      ELSE 'null' END
+                   || '}}' AS stac_json
+            FROM tiled t
+            LEFT JOIN s2cell ON t.doc_id = s2cell.doc_id
+            LEFT JOIN hcell ON t.doc_id = hcell.doc_id
+    """
 
 
 def _lang_pred_sql() -> str:
@@ -2067,6 +2270,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ) GROUP BY 1, 2
         """,
+        "stac_flagship": _flagship_oracle_sql(),
         "training_prep": r"""
             WITH toks AS (
               SELECT doc_id, lang, text, string_split_regex(trim(text), '\s+') AS t
