@@ -1170,6 +1170,25 @@ def _train_val_split(spark, sf_dir):
     )
 
 
+def _q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan-side filter + single aggregate — the
+    predicate-pushdown showcase (every filter reaches the parquet scan,
+    no join, no shuffle beyond the final single-row combine)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount") >= 0.02)
+        & (F.col("l_discount") <= 0.04)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double"), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
 def _training_prep(spark, sf_dir):
     """The composed training-data prep pipeline in one plan: repetition
     quality gate → exact-dup collapse (canonical = min doc_id per text
@@ -1254,6 +1273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": _doc_chunks,
         "train_val_split": _train_val_split,
         "training_prep": _training_prep,
+        "q6_forecast_revenue": _q6_forecast_revenue,
     }
 
 
@@ -2271,6 +2291,14 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY 1, 2
         """,
         "stac_flagship": _flagship_oracle_sql(),
+        "q6_forecast_revenue": f"""
+            SELECT ROUND(CAST(SUM({dec.format(c='l_extendedprice')} * {dec.format(c='l_discount')}) AS DOUBLE), 2) AS revenue,
+                   COUNT(*) AS n_lineitems
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+              AND l_discount BETWEEN 0.02 AND 0.04
+              AND l_quantity < 24
+        """,
         "training_prep": r"""
             WITH toks AS (
               SELECT doc_id, lang, text, string_split_regex(trim(text), '\s+') AS t
