@@ -52,3 +52,45 @@ def merge_upsert(spark: SparkSession, table_path: str, updates: DataFrame,
     else:
         os.replace(tmp, table_path)
     return spark.read.parquet(table_path)
+
+
+def merge_upsert_bucketed(spark: SparkSession, table_path: str, updates: DataFrame,
+                          key: str = "id", n_buckets: int = 64) -> DataFrame:
+    """Hash-bucketed MERGE: upsert cost ∝ TOUCHED buckets, not table size.
+
+    :func:`merge_upsert` re-reads and rewrites the whole table per batch —
+    correct, but O(table) per micro-batch, which a 10^12-row items table
+    cannot afford. Here the table lives partitioned by
+    ``bucket = pmod(xxhash64(key), n_buckets)``; an update batch touches at
+    most ``n_buckets`` partitions (usually far fewer), the current rows of
+    ONLY those partitions are read back (partition pruning on the bucket
+    column), and Spark's dynamic partition-overwrite rewrites ONLY those
+    directories. Untouched bucket directories are never read or written.
+    With Iceberg this collapses to ``MERGE INTO`` on a
+    ``bucket(key, N)``-partitioned table — identical layout, same call
+    shape.
+
+    Within-batch duplicate keys are resolved deterministically before the
+    merge (smallest row by key order wins via dropDuplicates on a sorted
+    input is NOT deterministic — callers needing last-write-wins should
+    pre-reduce, as streaming.ingest.stream_items_upsert does).
+    """
+    updates = updates.dropDuplicates([key]).withColumn(
+        "bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
+    )
+    touched = sorted(r["bucket"] for r in updates.select("bucket").distinct().collect())
+    if os.path.exists(os.path.join(table_path, "_SUCCESS")) or any(
+        e.startswith("bucket=") for e in (os.listdir(table_path) if os.path.exists(table_path) else [])
+    ):
+        current = spark.read.parquet(table_path).filter(F.col("bucket").isin(touched))
+        kept = current.join(updates.select(key), key, "left_anti")
+        merged = kept.unionByName(updates, allowMissingColumns=False)
+    else:
+        merged = updates
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket")
+        .parquet(table_path)
+    )
+    return spark.read.parquet(table_path)

@@ -129,3 +129,41 @@ def test_stac_collection_json(spark):
     assert doc["license"] == "CC-BY-4.0"
     assert doc["summaries"]["ducks"] == ["Alabio", "Rouen"]
     assert doc["summaries"]["n"] == {"minimum": "3.0", "maximum": "10.0"}
+
+
+def test_merge_upsert_bucketed_touches_only_affected_buckets(spark, tmp_path):
+    import os
+
+    from stac_populator_spark.sources.merge import merge_upsert_bucketed
+
+    tbl = str(tmp_path / "bucketed_tbl")
+    base = pd.DataFrame({"id": [f"k{i}" for i in range(2000)], "v": list(range(2000))})
+    merge_upsert_bucketed(spark, tbl, spark.createDataFrame(base), key="id", n_buckets=16)
+
+    def files_by_bucket():
+        out = {}
+        for d in os.listdir(tbl):
+            if d.startswith("bucket="):
+                out[d] = sorted(f for f in os.listdir(os.path.join(tbl, d)) if f.endswith(".parquet"))
+        return out
+
+    before = files_by_bucket()
+    assert len(before) > 8  # most buckets populated
+
+    # update 3 keys + insert 2 new ones — touches at most 5 buckets
+    upd = pd.DataFrame({"id": ["k1", "k2", "k3", "new1", "new2"], "v": [-1, -2, -3, 9001, 9002]})
+    got = merge_upsert_bucketed(spark, tbl, spark.createDataFrame(upd), key="id", n_buckets=16)
+
+    after = files_by_bucket()
+    untouched = [d for d in before if before[d] == after.get(d)]
+    assert len(before) - len(untouched) <= 5  # only affected buckets rewritten
+    assert len(untouched) >= len(before) - 5
+
+    rows = {r["id"]: r["v"] for r in got.collect()}
+    assert len(rows) == 2002
+    assert rows["k1"] == -1 and rows["new2"] == 9002 and rows["k100"] == 100
+
+    # idempotent: replaying the same batch leaves the table identical
+    again = merge_upsert_bucketed(spark, tbl, spark.createDataFrame(upd), key="id", n_buckets=16)
+    rows2 = {r["id"]: r["v"] for r in again.collect()}
+    assert rows2 == rows
