@@ -91,12 +91,15 @@ def stream_items_upsert(
     table_path: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    n_buckets: int = 64,
 ):
     """Streaming MERGE sink — the streaming form of the reference's
     POST → 409 → PUT upsert loop (api_requests.py:102-149): each
     micro-batch upserts into the keyed items table via foreachBatch +
-    sources.merge.merge_upsert, so a re-crawled url REPLACES its previous
-    item row instead of appending a duplicate.
+    sources.merge.merge_upsert_bucketed, so a re-crawled url REPLACES its
+    previous item row instead of appending a duplicate — and the merge
+    reads/rewrites ONLY the hash buckets the batch touches (O(batch) per
+    trigger, never O(table)).
 
     Key = (id, collection_id): a page overlapping k footprints is k item
     rows, each its own upsert target. The streaming checkpoint makes the
@@ -105,7 +108,7 @@ def stream_items_upsert(
     idempotent sink = effectively exactly-once)."""
     from pyspark.sql import functions as F
 
-    from ..sources.merge import merge_upsert
+    from ..sources.merge import merge_upsert_bucketed
 
     items = build_items(pages_stream, cover).withColumn(
         "merge_key",
@@ -126,7 +129,9 @@ def stream_items_upsert(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        merge_upsert(batch_df.sparkSession, table_path, latest, key="merge_key")
+        merge_upsert_bucketed(
+            batch_df.sparkSession, table_path, latest, key="merge_key", n_buckets=n_buckets
+        )
 
     writer = (
         items.writeStream.foreachBatch(_sink)
