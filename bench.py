@@ -60,6 +60,8 @@ def main():
         "knn_exact_docs",
         "stac_valid_split",
         "stac_collections",
+        "q9_profit_by_nation",
+        "training_prep",
     ]
     # JVM/JIT warmup (untimed): the very first job on a fresh session pays
     # several seconds of classloading + whole-stage-codegen compiler

@@ -157,3 +157,17 @@ def test_exists_shape_is_semi_join(spark):
     plan = plan_of(df)
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_session_scale_configs_pinned(spark):
+    # these defaults ARE the scale story (AQE re-planning, Arrow batching,
+    # forced-broadcast headroom, bounded scan partitions) — a session
+    # refactor that drops one should fail a test, not a production run
+    conf = spark.conf
+    assert conf.get("spark.sql.adaptive.enabled") == "true"
+    assert conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true"
+    assert conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
+    assert int(conf.get("spark.sql.autoBroadcastJoinThreshold")) >= 64 * 1024 * 1024
+    assert int(conf.get("spark.sql.files.maxPartitionBytes")) <= 256 * 1024 * 1024
+    assert conf.get("spark.sql.session.timeZone") == "UTC"
