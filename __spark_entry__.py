@@ -1170,6 +1170,43 @@ def _train_val_split(spark, sf_dir):
     )
 
 
+def _funnel_counts(spark, sf_dir):
+    """Ordered-funnel analysis (view → click → purchase): per user, the
+    first view, the first click AFTER that view, the first purchase AFTER
+    that click — three chained conditional mins, two passes over one
+    user-keyed shuffle (the decorrelated form of three correlated
+    subqueries). Emits per-stage user counts + median-ish latency."""
+    e = _t(spark, sf_dir, "events")
+    t_view = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    clicks = e.filter(F.col("event_type") == "click").join(t_view, "user_id")
+    t_click = clicks.filter(F.col("ts") > F.col("t_view")).groupBy("user_id").agg(
+        F.min("ts").alias("t_click"), F.first("t_view").alias("t_view")
+    )
+    buys = e.filter(F.col("event_type") == "purchase").join(t_click, "user_id")
+    t_buy = buys.filter(F.col("ts") > F.col("t_click")).groupBy("user_id").agg(
+        F.min("ts").alias("t_buy"), F.first("t_view").alias("t_view")
+    )
+    return (
+        t_view.join(t_click.select("user_id", F.lit(1).alias("clicked")), "user_id", "left")
+        .join(t_buy.select("user_id", F.lit(1).alias("bought"),
+                           F.col("t_buy"), F.col("t_view").alias("tv2")), "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_viewed"),
+            F.sum(F.coalesce(F.col("clicked"), F.lit(0))).alias("n_clicked"),
+            F.sum(F.coalesce(F.col("bought"), F.lit(0))).alias("n_purchased"),
+            F.round(
+                F.avg(
+                    (F.unix_micros(F.col("t_buy").cast("timestamp"))
+                     - F.unix_micros(F.col("tv2").cast("timestamp"))) / 1000000.0
+                ),
+                3,
+            ).alias("avg_funnel_secs"),
+        )
+    )
+
+
 def _q6_forecast_revenue(spark, sf_dir):
     """TPC-H Q6 shape: pure scan-side filter + single aggregate — the
     predicate-pushdown showcase (every filter reaches the parquet scan,
@@ -1274,6 +1311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_split": _train_val_split,
         "training_prep": _training_prep,
         "q6_forecast_revenue": _q6_forecast_revenue,
+        "funnel_counts": _funnel_counts,
     }
 
 
@@ -2291,6 +2329,28 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY 1, 2
         """,
         "stac_flagship": _flagship_oracle_sql(),
+        "funnel_counts": """
+            WITH v AS (
+              SELECT user_id, MIN(ts) AS t_view FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ), c AS (
+              SELECT e.user_id, MIN(e.ts) AS t_click, MIN(v.t_view) AS t_view
+              FROM events e JOIN v ON e.user_id = v.user_id
+              WHERE e.event_type = 'click' AND e.ts > v.t_view
+              GROUP BY e.user_id
+            ), b AS (
+              SELECT e.user_id, MIN(e.ts) AS t_buy, MIN(c.t_view) AS t_view
+              FROM events e JOIN c ON e.user_id = c.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+              GROUP BY e.user_id
+            )
+            SELECT COUNT(*) AS n_viewed,
+                   SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS n_clicked,
+                   SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS n_purchased,
+                   ROUND(AVG((epoch_us(b.t_buy) - epoch_us(b.t_view)) / 1000000.0), 3) AS avg_funnel_secs
+            FROM v LEFT JOIN c ON v.user_id = c.user_id
+            LEFT JOIN b ON v.user_id = b.user_id
+        """,
         "q6_forecast_revenue": f"""
             SELECT ROUND(CAST(SUM({dec.format(c='l_extendedprice')} * {dec.format(c='l_discount')}) AS DOUBLE), 2) AS revenue,
                    COUNT(*) AS n_lineitems
