@@ -1170,6 +1170,25 @@ def _train_val_split(spark, sf_dir):
     )
 
 
+def _events_trailing_1h(spark, sf_dir):
+    """Time-RANGE sliding window: per event, count + exact-decimal sum of
+    the same user's events in the trailing hour (inclusive) — the
+    feature-engineering frame (one shuffle keyed on user_id; the range
+    frame scans each partition once, no self-join)."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+        F.round(F.sum(_dec("value")).over(w).cast("double"), 4).alias("sum_trailing_1h"),
+    )
+
+
 def _funnel_counts(spark, sf_dir):
     """Ordered-funnel analysis (view → click → purchase): per user, the
     first view, the first click AFTER that view, the first purchase AFTER
@@ -1312,6 +1331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_prep": _training_prep,
         "q6_forecast_revenue": _q6_forecast_revenue,
         "funnel_counts": _funnel_counts,
+        "events_trailing_1h": _events_trailing_1h,
     }
 
 
@@ -2329,6 +2349,14 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY 1, 2
         """,
         "stac_flagship": _flagship_oracle_sql(),
+        "events_trailing_1h": """
+            SELECT user_id, event_id,
+                   COUNT(*) OVER w AS n_trailing_1h,
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE), 4) AS sum_trailing_1h
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        """,
         "funnel_counts": """
             WITH v AS (
               SELECT user_id, MIN(ts) AS t_view FROM events
