@@ -1170,6 +1170,29 @@ def _train_val_split(spark, sf_dir):
     )
 
 
+def _embed_quantize(spark, sf_dir):
+    """Symmetric int8 quantization audit per embedding — the compression
+    step a training pipeline runs before shipping vectors: per-vector
+    scale = 127 / max|x|, worst-case reconstruction error, and L2 norm.
+    Entirely JVM higher-order array functions (aggregate / transform /
+    zip_with) — no UDF, no shuffle."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    absmax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.lit(127.0) / absmax
+    q = F.transform(v, lambda x: F.round(x * scale).cast("int"))
+    recon_err = F.array_max(
+        F.zip_with(v, q, lambda x, qi: F.abs(x - qi.cast("double") / scale))
+    )
+    l2 = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    return e.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        F.round(recon_err, 6).alias("max_recon_err"),
+        F.round(l2, 6).alias("l2_norm"),
+    )
+
+
 def _events_trailing_1h(spark, sf_dir):
     """Time-RANGE sliding window: per event, count + exact-decimal sum of
     the same user's events in the trailing hour (inclusive) — the
@@ -1332,6 +1355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_forecast_revenue": _q6_forecast_revenue,
         "funnel_counts": _funnel_counts,
         "events_trailing_1h": _events_trailing_1h,
+        "embed_quantize": _embed_quantize,
     }
 
 
@@ -2349,6 +2373,20 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY 1, 2
         """,
         "stac_flagship": _flagship_oracle_sql(),
+        "embed_quantize": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ), s AS (
+              SELECT vec_id, v,
+                     127.0 / list_max(list_transform(v, x -> abs(x))) AS scale
+              FROM e
+            )
+            SELECT vec_id,
+                   ROUND(scale, 6) AS scale,
+                   ROUND(list_max(list_transform(v, x -> abs(x - round(x * scale) / scale))), 6) AS max_recon_err,
+                   ROUND(sqrt(list_sum(list_transform(v, x -> x * x))), 6) AS l2_norm
+            FROM s
+        """,
         "events_trailing_1h": """
             SELECT user_id, event_id,
                    COUNT(*) OVER w AS n_trailing_1h,
