@@ -1170,6 +1170,24 @@ def _train_val_split(spark, sf_dir):
     )
 
 
+def _neardup_components(spark, sf_dir):
+    """Iterative graph clustering: MinHash near-dup pairs → connected
+    components (min-label propagation, driver-side convergence loop) —
+    the transitive-closure step that pairwise dedup misses. The oracle
+    recomputes the SAME pair set with brute-force all-pairs Jaccard and
+    the components with a recursive-CTE transitive closure."""
+    from stac_populator_spark.operators.dedup import (
+        connected_components,
+        minhash_near_duplicates,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(d, threshold=0.7)
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+
+
 def _embed_quantize(spark, sf_dir):
     """Symmetric int8 quantization audit per embedding — the compression
     step a training pipeline runs before shipping vectors: per-vector
@@ -1356,6 +1374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_counts": _funnel_counts,
         "events_trailing_1h": _events_trailing_1h,
         "embed_quantize": _embed_quantize,
+        "neardup_components": _neardup_components,
     }
 
 
@@ -2373,6 +2392,28 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY 1, 2
         """,
         "stac_flagship": _flagship_oracle_sql(),
+        "neardup_components": """
+            WITH RECURSIVE sh AS (
+              SELECT doc_id,
+                     list_distinct([concat_ws(' ', toks[i], toks[i+1], toks[i+2])
+                                    for i in range(1, greatest(length(toks)-2, 1)+1)]) AS s
+              FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+            ), p AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE length(list_intersect(a.s, b.s))::DOUBLE
+                      / length(list_distinct(list_concat(a.s, b.s))) >= 0.7
+            ), e AS (
+              SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p
+            ), reach(node, r) AS (
+              SELECT a AS node, a AS r FROM e
+              UNION
+              SELECT e.a AS node, reach.r
+              FROM e JOIN reach ON e.b = reach.node
+            )
+            SELECT node AS doc_id, MIN(r) AS component
+            FROM reach GROUP BY node
+        """,
         "embed_quantize": """
             WITH e AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -325,3 +325,57 @@ def simhash_candidates(sigs: DataFrame, id_col: str = "doc_id",
         .select(F.least("ma", "mb").alias("a"), F.greatest("ma", "mb").alias("b"), "hamming")
     )
     return cross.unionByName(within)
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Near-dup pairs → dedup CLUSTERS: undirected edges (a, b) → one row
+    per node with ``component`` = the smallest node id reachable from it.
+    This is the step that turns a pair list into "keep one doc per
+    cluster" — without it, transitively-linked near-dups (A~B, B~C but
+    A≁C) survive pairwise dedup.
+
+    Algorithm: min-label propagation (the standard Spark CC shape) —
+    each iteration every node takes min(own label, neighbors' labels);
+    converges in O(diameter) rounds, and near-dup clusters have tiny
+    diameters. Each round is one join + one groupBy keyed on the node id;
+    ``localCheckpoint`` truncates the growing lineage so round N's plan
+    does not replay rounds 1..N-1. The driver-side convergence loop is
+    the documented exception to "no driver iteration": the loop count is
+    O(log n) worst case, data never comes to the driver (only the
+    changed-row COUNT does).
+    """
+    edges = pairs.select("a", "b")
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    labels = (
+        sym.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(labels, sym.b == labels.id)
+            .groupBy(F.col("a").alias("id"))
+            .agg(F.min("component").alias("nbr_comp"))
+        )
+        new = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("component"), F.coalesce("nbr_comp", "component")).alias(
+                    "component"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("component", "old"), "id")
+            .filter(F.col("component") != F.col("old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels

@@ -407,3 +407,29 @@ def test_ivf_partitioned_layout_prunes_and_matches(spark, tmp_path, vectors):
         probes.explain("formatted")
     plan = buf.getvalue()
     assert "PartitionFilters: [ivf_cluster" in plan.replace("#", " #").replace("  ", " ") or "ivf_cluster IN" in plan
+
+
+def test_connected_components_crafted_graph(spark):
+    from stac_populator_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter 3), triangle 10-11-12, isolated edge 20-21
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {"a": [1, 2, 3, 10, 11, 10, 20], "b": [2, 3, 4, 11, 12, 12, 21]}
+        )
+    )
+    out = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from stac_populator_spark.operators.dedup import connected_components
+
+    # plain min-label propagation needs ~diameter rounds; a 24-node chain
+    # (diameter 23) must still converge within max_iter
+    n = 24
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"a": list(range(n - 1)), "b": list(range(1, n))})
+    )
+    out = {r["id"]: r["component"] for r in connected_components(pairs, max_iter=30).collect()}
+    assert set(out.values()) == {0} and len(out) == n
