@@ -334,14 +334,16 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     cluster" — without it, transitively-linked near-dups (A~B, B~C but
     A≁C) survive pairwise dedup.
 
-    Algorithm: min-label propagation (the standard Spark CC shape) —
-    each iteration every node takes min(own label, neighbors' labels);
-    converges in O(diameter) rounds, and near-dup clusters have tiny
-    diameters. Each round is one join + one groupBy keyed on the node id;
-    ``localCheckpoint`` truncates the growing lineage so round N's plan
-    does not replay rounds 1..N-1. The driver-side convergence loop is
-    the documented exception to "no driver iteration": the loop count is
-    O(log n) worst case, data never comes to the driver (only the
+    Algorithm: min-label propagation + POINTER DOUBLING — each round every
+    node takes min(own label, neighbors' labels), then labels shortcut one
+    hop (component ← component-of-component), so a diameter-d chain
+    converges in O(log d) rounds instead of O(d) (the difference between
+    6 rounds and thousands on pathological boilerplate chains at corpus
+    scale). Each round is two joins + one groupBy, all keyed on the node
+    id; ``localCheckpoint`` truncates the growing lineage so round N's
+    plan does not replay rounds 1..N-1. The driver-side convergence loop
+    is the documented exception to "no driver iteration": the loop count
+    is O(log n) worst case, data never comes to the driver (only the
     changed-row COUNT does).
     """
     edges = pairs.select("a", "b")
@@ -360,11 +362,22 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .groupBy(F.col("a").alias("id"))
             .agg(F.min("component").alias("nbr_comp"))
         )
+        stepped = labels.join(nbr, "id", "left").select(
+            "id",
+            F.least(F.col("component"), F.coalesce("nbr_comp", "component")).alias(
+                "component"
+            ),
+        )
+        # pointer doubling: component ← its component's component (always
+        # ≤ current, since comp[x] ≤ x is invariant under min-propagation)
+        hop = stepped.select(
+            F.col("id").alias("cid"), F.col("component").alias("c2")
+        )
         new = (
-            labels.join(nbr, "id", "left")
+            stepped.join(hop, stepped.component == hop.cid, "left")
             .select(
                 "id",
-                F.least(F.col("component"), F.coalesce("nbr_comp", "component")).alias(
+                F.least(F.col("component"), F.coalesce("c2", "component")).alias(
                     "component"
                 ),
             )
