@@ -2393,17 +2393,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "stac_flagship": _flagship_oracle_sql(),
         "neardup_components": """
-            WITH RECURSIVE sh AS (
+            WITH RECURSIVE sh AS MATERIALIZED (
               SELECT doc_id,
                      list_distinct([concat_ws(' ', toks[i], toks[i+1], toks[i+2])
                                     for i in range(1, greatest(length(toks)-2, 1)+1)]) AS s
               FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
-            ), p AS (
+            ), p AS MATERIALIZED (
               SELECT a.doc_id AS a, b.doc_id AS b
               FROM sh a JOIN sh b ON a.doc_id < b.doc_id
               WHERE length(list_intersect(a.s, b.s))::DOUBLE
                       / length(list_distinct(list_concat(a.s, b.s))) >= 0.7
-            ), e AS (
+            ), e AS MATERIALIZED (
               SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p
             ), reach(node, r) AS (
               SELECT a AS node, a AS r FROM e
