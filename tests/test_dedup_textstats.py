@@ -433,3 +433,18 @@ def test_connected_components_long_chain_converges(spark):
     )
     out = {r["id"]: r["component"] for r in connected_components(pairs, max_iter=30).collect()}
     assert set(out.values()) == {0} and len(out) == n
+
+
+def test_components_on_dup_flood(spark):
+    # 300 byte-identical docs + one near-dup: the pair set is quadratic
+    # (C(300,2) within-group + 300 cross pairs) and CC must collapse the
+    # whole thing into ONE component rooted at the smallest id
+    from stac_populator_spark.operators.dedup import connected_components
+
+    n = 300
+    rows = [(i, BASE) for i in range(n)] + [(n, NEAR)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    pairs = minhash_near_duplicates(df, threshold=0.5)
+    labels = connected_components(pairs).collect()
+    assert len(labels) == n + 1
+    assert {r["component"] for r in labels} == {0}
