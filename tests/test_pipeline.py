@@ -219,3 +219,37 @@ def test_run_pipeline_smoke(spark, pages, fps):
         assert b[1] <= r["mn_lat"] and b[3] >= r["mx_lat"]
         if b[0] <= b[2]:  # collection bbox itself doesn't wrap
             assert b[0] <= r["mn_lon"] and b[2] >= r["mx_lon"]
+
+
+def test_null_and_empty_html_flow_as_null_geometry_items(spark, fps):
+    # at corpus scale null/empty html WILL occur; the kernel must emit a
+    # well-formed null-geometry item (id from url, null lon/lat/n_chars),
+    # never crash and never drop the row
+    from stac_populator_spark.operators.spatial_join import footprint_cover_df
+
+    pages = pages_df(spark, 50, partitions=2)
+    poison = pages.limit(3).select(
+        F.concat(F.col("url"), F.lit("#null")).alias("url"),
+        F.col("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+    empty = pages.limit(2).select(
+        F.concat(F.col("url"), F.lit("#empty")).alias("url"),
+        "warc_ts",
+        F.lit(b"").alias("html"),
+        "text",
+        "lang",
+    )
+    mixed = pages.unionByName(poison).unionByName(empty)
+    cover = footprint_cover_df(spark, footprints_pdf())
+    out = build_items(mixed, cover)
+    rows = out.filter(F.col("url").contains("#")).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["id"] is not None and r["id"].endswith((".html#null", ".html#empty"))
+        assert r["lon"] is None and r["lat"] is None
+        assert r["collection_id"] is None and r["cell_s2"] is None
+    # the full corpus is still accounted for
+    assert out.select("url").distinct().count() == 55
