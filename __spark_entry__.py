@@ -1170,6 +1170,16 @@ def _train_val_split(spark, sf_dir):
     )
 
 
+def _quality_zscore(spark, sf_dir):
+    """Per-language z-score of document length via grouped-map
+    applyInPandas (whole group as one pandas frame — the §2.7
+    collection-parser surface); oracle = AVG/STDDEV window mirror."""
+    from stac_populator_spark.operators.registry import zscore_by_group
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return zscore_by_group(d, "n_chars", "lang").select("doc_id", "lang", "zscore")
+
+
 def _neardup_components(spark, sf_dir):
     """Iterative graph clustering: MinHash near-dup pairs → connected
     components (min-label propagation, driver-side convergence loop) —
@@ -1375,6 +1385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_trailing_1h": _events_trailing_1h,
         "embed_quantize": _embed_quantize,
         "neardup_components": _neardup_components,
+        "quality_zscore": _quality_zscore,
     }
 
 
@@ -2392,6 +2403,17 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY 1, 2
         """,
         "stac_flagship": _flagship_oracle_sql(),
+        "quality_zscore": """
+            SELECT doc_id, lang,
+                   CASE WHEN s IS NULL OR s = 0 THEN NULL
+                        ELSE ROUND((n_chars - m) / s, 6) END AS zscore
+            FROM (
+              SELECT doc_id, lang, n_chars,
+                     AVG(n_chars) OVER (PARTITION BY lang) AS m,
+                     STDDEV(n_chars) OVER (PARTITION BY lang) AS s
+              FROM documents
+            )
+        """,
         "neardup_components": """
             WITH RECURSIVE sh AS MATERIALIZED (
               SELECT doc_id,

@@ -76,3 +76,34 @@ def apply_parsers(
             yield pdf
 
     return items.mapInPandas(run, schema=out_schema)
+
+
+def zscore_by_group(df: DataFrame, value_col: str, group_col: str,
+                    out_col: str = "zscore") -> DataFrame:
+    """Grouped-map ``applyInPandas``: z-score ``value_col`` within each
+    ``group_col`` group (sample stddev, ddof=1 — the same estimator as
+    Spark's stddev and DuckDB's STDDEV). The §2.7 collection-level parser
+    surface as a real normalization op: each group arrives as ONE pandas
+    frame, so the whole-group statistics the reference's collection
+    parsers need (populators.py:196-198) are a vectorized expression.
+
+    Degenerate groups (n==1 or zero variance) emit null. Scale note: a
+    group must fit one executor's memory — grouping keys here are
+    low-cardinality dimensions (lang, collection); for per-key normalizing
+    of UNBOUNDED groups use the window-function formulation instead.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    schema = T.StructType(df.schema.fields + [T.StructField(out_col, T.DoubleType())])
+
+    def norm(pdf):
+        v = pdf[value_col].astype("float64")
+        s = v.std(ddof=1)
+        if s and not np.isnan(s):
+            pdf[out_col] = np.round((v - v.mean()) / s, 6)
+        else:
+            pdf[out_col] = np.nan
+        return pdf
+
+    return df.groupBy(group_col).applyInPandas(norm, schema=schema)
