@@ -61,3 +61,21 @@ def test_update_collections_modes(spark):
     assert update_collections(items, "none") == {}
     with pytest.raises(ValueError):
         update_collections(items, "bogus")
+
+
+def test_zscore_by_group_values_and_degenerate(spark):
+    import numpy as np
+    import pandas as pd
+
+    from stac_populator_spark.operators.registry import zscore_by_group
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"id": [1, 2, 3, 4, 5], "g": ["a", "a", "a", "b", "c"], "v": [1.0, 2.0, 3.0, 7.0, 9.0]}
+        )
+    )
+    # group c... b has one row -> null; a: mean 2, std(ddof=1)=1
+    out = {r["id"]: r["zscore"] for r in zscore_by_group(df, "v", "g").collect()}
+    assert out[1] == -1.0 and out[2] == 0.0 and out[3] == 1.0
+    assert out[4] is None or np.isnan(out[4])
+    assert out[5] is None or np.isnan(out[5])
