@@ -1170,6 +1170,50 @@ def _train_val_split(spark, sf_dir):
     )
 
 
+def _daily_activity_full_outer(spark, sf_dir):
+    """FULL OUTER join of two daily aggregates (order volume vs event
+    volume): days present on either side survive with nulls on the other
+    — the reconciliation shape (a LEFT join would silently drop
+    event-only days)."""
+    o = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    e = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        o.join(e, "day", "full_outer")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+def _events_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (not CUBE): exactly three aggregation
+    granularities — (type, seg), (type), () — with grouping_id
+    disambiguating which set each row came from (a null value vs a
+    rolled-up level are different things)."""
+    e = _t(spark, sf_dir, "events").withColumn("seg", F.col("user_id") % 3)
+    return (
+        e.groupingSets(
+            [["event_type", "seg"], ["event_type"], []],
+            "event_type",
+            "seg",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
 def _quality_zscore(spark, sf_dir):
     """Per-language z-score of document length via grouped-map
     applyInPandas (whole group as one pandas frame — the §2.7
@@ -1386,6 +1430,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_quantize": _embed_quantize,
         "neardup_components": _neardup_components,
         "quality_zscore": _quality_zscore,
+        "daily_activity_full_outer": _daily_activity_full_outer,
+        "events_grouping_sets": _events_grouping_sets,
     }
 
 
@@ -2403,6 +2449,23 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY 1, 2
         """,
         "stac_flagship": _flagship_oracle_sql(),
+        "daily_activity_full_outer": """
+            SELECT STRFTIME(COALESCE(o.day, e.day), '%Y-%m-%d') AS day,
+                   COALESCE(n_orders, 0) AS n_orders,
+                   COALESCE(n_events, 0) AS n_events
+            FROM (SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders
+                  FROM orders GROUP BY 1) o
+            FULL OUTER JOIN
+                 (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+                  FROM events GROUP BY 1) e
+              ON o.day = e.day
+        """,
+        "events_grouping_sets": """
+            SELECT event_type, seg, COUNT(*) AS n,
+                   GROUPING(event_type) * 2 + GROUPING(seg) AS gid
+            FROM (SELECT event_type, user_id % 3 AS seg FROM events)
+            GROUP BY GROUPING SETS ((event_type, seg), (event_type), ())
+        """,
         "quality_zscore": """
             SELECT doc_id, lang,
                    CASE WHEN s IS NULL OR s = 0 THEN NULL
