@@ -1170,6 +1170,37 @@ def _train_val_split(spark, sf_dir):
     )
 
 
+def _clicks_asof_purchase(spark, sf_dir):
+    """AS-OF join: every click matched to the same user's latest purchase
+    at-or-before the click (union + one sort + last-carry-forward — no
+    range-join blowup; operators/asof.py). Oracle: DuckDB's NATIVE
+    ASOF LEFT JOIN — a fully independent implementation."""
+    from stac_populator_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    # one purchase row per (user, ts): keep the max event_id (ambiguity
+    # guard both engines apply identically)
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("p_ts"))
+        .agg(F.max("event_id").alias("p_event_id"))
+    )
+    out = asof_join(
+        clicks, purchases, key="user_id", left_ts="ts", right_ts="p_ts",
+        right_payload=["p_event_id", "p_ts"],
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.col("asof_p_event_id").alias("purchase_event_id"),
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         - F.unix_micros(F.col("asof_p_ts").cast("timestamp"))).alias("gap_us"),
+    )
+
+
 def _daily_activity_full_outer(spark, sf_dir):
     """FULL OUTER join of two daily aggregates (order volume vs event
     volume): days present on either side survive with nulls on the other
@@ -1432,6 +1463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_zscore": _quality_zscore,
         "daily_activity_full_outer": _daily_activity_full_outer,
         "events_grouping_sets": _events_grouping_sets,
+        "clicks_asof_purchase": _clicks_asof_purchase,
     }
 
 
@@ -2449,6 +2481,19 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY 1, 2
         """,
         "stac_flagship": _flagship_oracle_sql(),
+        "clicks_asof_purchase": """
+            WITH clicks AS (
+              SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+            ), purchases AS (
+              SELECT user_id, ts AS p_ts, MAX(event_id) AS p_event_id
+              FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+            )
+            SELECT c.user_id, c.event_id,
+                   p.p_event_id AS purchase_event_id,
+                   epoch_us(c.ts) - epoch_us(p.p_ts) AS gap_us
+            FROM clicks c ASOF LEFT JOIN purchases p
+              ON c.user_id = p.user_id AND c.ts >= p.p_ts
+        """,
         "daily_activity_full_outer": """
             SELECT STRFTIME(COALESCE(o.day, e.day), '%Y-%m-%d') AS day,
                    COALESCE(n_orders, 0) AS n_orders,

@@ -162,3 +162,39 @@ def test_tiles_footprints_vs_bruteforce(spark):
                     expected.add((t["tile_id"], fp["collection_id"]))
     assert got == expected
     assert len(got) > 0
+
+
+def test_asof_join_crafted(spark):
+    import contextlib, io
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from stac_populator_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(pd.DataFrame({
+        "k": [1, 1, 1, 2, 3],
+        "lt": [10, 20, 30, 5, 7],
+        "lid": ["a", "b", "c", "d", "e"],
+    }))
+    right = spark.createDataFrame(pd.DataFrame({
+        "k": [1, 1, 2], "rt": [10, 25, 6], "pay": ["x", "y", "z"],
+    }))
+    out = asof_join(left, right, key="k", left_ts="lt", right_ts="rt",
+                    right_payload=["pay", "rt"])
+    got = {r["lid"]: (r["asof_pay"], r["asof_rt"]) for r in out.collect()}
+    assert got["a"] == ("x", 10)      # inclusive: rt == lt matches
+    assert got["b"] == ("x", 10)      # latest at-or-before 20
+    assert got["c"] == ("y", 25)      # carry advances
+    assert got["d"] == (None, None)   # right row is AFTER the left row
+    assert got["e"] == (None, None)   # key with no right rows at all
+    # plan: each union branch shuffles ONCE into the shared window
+    # partitioning (2 Exchange nodes, but every row crosses one shuffle);
+    # crucially no range join — no Cartesian/NestedLoop anywhere
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count(" Exchange (") <= 2
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan  # it's a window carry, not a join at all
