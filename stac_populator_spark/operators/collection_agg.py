@@ -82,6 +82,146 @@ _ISO_RE = r"^\d{4}-\d{2}-\d{2}([T ].*)?$"
 _NUM_RE = r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$"
 
 
+def extent_summaries_agg(
+    items: DataFrame,
+    prop_keys: list[str] | tuple,
+    collection_col: str = "collection_id",
+    props_col: str = "props",
+    exclude: tuple = (),
+) -> tuple[DataFrame, list[str]]:
+    """The shared single-groupBy aggregate behind
+    ``collection_extent_summaries`` / ``stac_collection_json_onepass``:
+    extent partials (A1+A2) and per-property summary partials (A3) as agg
+    expressions of ONE HashAggregate, for a statically-known property-key
+    list (the reference's summaries are likewise config-enumerated,
+    collection_update.py:88-139 driven by the collection YAML).
+
+    Map-side partials do all the work; the exchange carries one row per
+    (collection, partial). Returns ``(agg_df, keys)`` where ``agg_df`` has
+    the raw extent columns plus ``_s{i}_*`` summary stat columns per key.
+    """
+    excl = set(exclude) | set(EXCLUDE_ALWAYS)
+    keys = [k for k in prop_keys if k not in excl]
+    cols = set(items.columns)
+    z_min = F.col("z_min") if "z_min" in cols else F.lit(None).cast("double")
+    z_max = F.col("z_max") if "z_max" in cols else F.lit(None).cast("double")
+    start = F.coalesce(
+        F.col("datetime"),
+        F.col("start_datetime") if "start_datetime" in cols else F.lit(None).cast("timestamp"),
+    )
+    end = F.coalesce(
+        F.col("datetime"),
+        F.col("end_datetime") if "end_datetime" in cols else F.lit(None).cast("timestamp"),
+    )
+    aggs = [
+        F.min("lon_min").alias("lon_min"),
+        F.min("lat_min").alias("lat_min"),
+        F.max("lon_max").alias("lon_max"),
+        F.max("lat_max").alias("lat_max"),
+        F.min(z_min).alias("z_min"),
+        F.max(z_max).alias("z_max"),
+        F.min(start).alias("_start_min"),
+        F.max(end).alias("_end_max"),
+        F.max(start.isNull().cast("int")).alias("_start_open"),
+        F.max(end.isNull().cast("int")).alias("_end_open"),
+        F.count(F.lit(1)).alias("item_count"),
+    ]
+    for i, k in enumerate(keys):
+        v = F.col(props_col).getItem(k)
+        num = F.when(v.rlike(_NUM_RE), v).cast("double")
+        aggs += [
+            F.min(F.when(v.isNotNull(), v.rlike(_NUM_RE).cast("int"))).alias(f"_s{i}_num"),
+            F.min(F.when(v.isNotNull(), v.rlike(_ISO_RE).cast("int"))).alias(f"_s{i}_iso"),
+            F.array_sort(F.collect_set(v)).alias(f"_s{i}_vals"),
+            F.min(num).alias(f"_s{i}_nmin"),
+            F.max(num).alias(f"_s{i}_nmax"),
+            F.min(v).alias(f"_s{i}_smin"),
+            F.max(v).alias(f"_s{i}_smax"),
+        ]
+    return items.groupBy(F.col(collection_col).alias("collection_id")).agg(*aggs), keys
+
+
+def extent_select(agg: DataFrame, keep_stats: bool = False) -> DataFrame:
+    """Project an ``extent_summaries_agg`` result down to the
+    ``collection_extent`` output schema (``keep_stats=True`` keeps the
+    ``_s{i}_*`` summary stat columns alongside, for one-pass JSON
+    assembly)."""
+    bbox = (
+        F.when(
+            F.col("z_min").isNotNull(),
+            F.array("lon_min", "lat_min", "z_min", "lon_max", "lat_max", "z_max"),
+        )
+        .otherwise(F.array("lon_min", "lat_min", "lon_max", "lat_max"))
+        .alias("bbox")
+    )
+    istart = (
+        F.when(F.col("_start_open") == 1, F.lit(None).cast("timestamp"))
+        .otherwise(F.col("_start_min"))
+        .alias("interval_start")
+    )
+    iend = (
+        F.when(F.col("_end_open") == 1, F.lit(None).cast("timestamp"))
+        .otherwise(F.col("_end_max"))
+        .alias("interval_end")
+    )
+    import re
+
+    stats = [c for c in agg.columns if re.match(r"_s\d+_", c)] if keep_stats else []
+    return agg.select("collection_id", bbox, istart, iend, "item_count", *stats)
+
+
+def collection_extent_summaries(
+    items: DataFrame,
+    prop_keys: list[str] | tuple,
+    collection_col: str = "collection_id",
+    props_col: str = "props",
+    exclude: tuple = (),
+) -> tuple[DataFrame, DataFrame]:
+    """A1+A2+A3 in ONE groupBy (see ``extent_summaries_agg``): returns
+    ``(extents, summaries)`` with schemas identical to
+    ``collection_extent`` and ``collection_summaries``; summaries rows are
+    exploded from the per-collection aggregate, i.e. from O(#collections)
+    rows, not O(#items)."""
+    agg, keys = extent_summaries_agg(items, prop_keys, collection_col, props_col, exclude)
+    extents = extent_select(agg)
+
+    per_key = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("prop"),
+                F.col(f"_s{i}_num").alias("all_num"),
+                F.col(f"_s{i}_iso").alias("all_iso"),
+                F.col(f"_s{i}_vals").alias("vals"),
+                F.col(f"_s{i}_nmin").alias("nmin"),
+                F.col(f"_s{i}_nmax").alias("nmax"),
+                F.col(f"_s{i}_smin").alias("smin"),
+                F.col(f"_s{i}_smax").alias("smax"),
+            )
+            for i, k in enumerate(keys)
+        ]
+    )
+    s = agg.select("collection_id", F.explode(per_key).alias("s")).filter(
+        F.size("s.vals") > 0
+    )
+    summaries = s.select(
+        "collection_id",
+        F.col("s.prop").alias("prop"),
+        F.when((F.col("s.all_num") == 1) | (F.col("s.all_iso") == 1), F.lit("minmax"))
+        .otherwise(F.lit("list"))
+        .alias("kind"),
+        F.when((F.col("s.all_num") == 0) & (F.col("s.all_iso") == 0), F.col("s.vals")).alias(
+            "values"
+        ),
+        F.when(F.col("s.all_num") == 1, F.col("s.nmin").cast("string"))
+        .when(F.col("s.all_iso") == 1, F.col("s.smin"))
+        .alias("minimum"),
+        F.when(F.col("s.all_num") == 1, F.col("s.nmax").cast("string"))
+        .when(F.col("s.all_iso") == 1, F.col("s.smax"))
+        .alias("maximum"),
+    )
+    return extents, summaries
+
+
 def collection_summaries(
     items: DataFrame,
     collection_col: str = "collection_id",

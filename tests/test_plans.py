@@ -159,6 +159,39 @@ def test_exists_shape_is_semi_join(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_stac_collections_fact_side_shuffle_free(spark):
+    # VERDICT r2 ask #1: stac_collections must not re-join the corpus on
+    # doc_id. The fact side (documents scan → derived point cols → broadcast
+    # PIP join → item cols) carries lang/source through with ZERO exchanges;
+    # the only shuffles in the full query are collection-grain
+    # (hashpartitioning on collection_id), never doc-grain.
+    import contextlib
+    import io
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+
+    items = E._stac_collections_items(spark, "/root/testdata/sf0.001")
+    pre = plan_of(items)
+    assert "BroadcastHashJoin" in pre
+    assert "SortMergeJoin" not in pre
+    assert " Exchange (" not in pre
+
+    full = E.queries()["stac_collections"](spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        full.explain()  # simple mode: Exchange lines show their keys inline
+    simple = buf.getvalue()
+    assert "hashpartitioning(doc_id" not in simple
+    assert "SortMergeJoin" not in simple
+    # extent + summaries + JSON from ONE aggregation pass: a single scan of
+    # documents, a single shuffle (collection-grain), zero post-agg joins
+    assert simple.count("FileScan parquet") == 1
+    assert simple.count("Exchange hashpartitioning") == 1
+    assert "hashpartitioning(collection_id" in simple
+
+
 def test_session_scale_configs_pinned(spark):
     # these defaults ARE the scale story (AQE re-planning, Arrow batching,
     # forced-broadcast headroom, bounded scan partitions) — a session
