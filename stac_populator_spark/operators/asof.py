@@ -33,7 +33,17 @@ def asof_join(
     `right` should be pre-deduplicated to one row per (key, right_ts) —
     pass it through a max-by if not; duplicate timestamps would make "the"
     as-of row ambiguous in ANY engine.
+
+    `right_payload` names must not collide with left columns (the output
+    would otherwise silently lose the left column) — rename on the right
+    side first; the result carries the payload as `asof_<name>` anyway.
     """
+    collisions = set(right_payload) & set(left.columns)
+    if collisions:
+        raise ValueError(
+            f"right_payload columns collide with left columns: {sorted(collisions)}; "
+            "rename the right side before asof_join"
+        )
     l = left.withColumn("_tag", F.lit(1)).withColumn("_ats", F.col(left_ts))
     r_cols = [key, right_ts] + [c for c in right_payload if c not in (key, right_ts)]
     r = (
@@ -52,6 +62,8 @@ def asof_join(
     )
     carried = u.withColumn("_last", F.last("_p", ignorenulls=True).over(w))
     out = carried.filter(F.col("_tag") == 1).drop("_tag", "_ats", "_p")
+    if right_ts not in left.columns and right_ts not in right_payload:
+        out = out.drop(right_ts)  # right-only column: all-null on left rows
     for c in right_payload:
         out = out.withColumn(f"asof_{c}", F.col("_last")[c]).drop(c)
     return out.drop("_last")

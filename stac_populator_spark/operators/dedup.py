@@ -391,4 +391,12 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         labels = new
         if changed == 0:
             break
+    else:
+        # with pointer doubling this needs graph diameter > ~2^max_iter —
+        # practically unreachable, but returning non-converged labels
+        # silently would be a wrong answer with no signal
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            f"({changed} labels still changing); raise max_iter"
+        )
     return labels

@@ -98,12 +98,16 @@ def zscore_by_group(df: DataFrame, value_col: str, group_col: str,
     schema = T.StructType(df.schema.fields + [T.StructField(out_col, T.DoubleType())])
 
     def norm(pdf):
+        import pandas as pd
+
         v = pdf[value_col].astype("float64")
         s = v.std(ddof=1)
         if s and not np.isnan(s):
-            pdf[out_col] = np.round((v - v.mean()) / s, 6)
+            # nullable Float64 so Arrow encodes true SQL NULLs (not NaN)
+            # for any NaN lanes — matching the DuckDB oracle's NULLs
+            pdf[out_col] = pd.array(np.round((v - v.mean()) / s, 6), dtype="Float64")
         else:
-            pdf[out_col] = np.nan
+            pdf[out_col] = pd.array([None] * len(pdf), dtype="Float64")
         return pdf
 
     return df.groupBy(group_col).applyInPandas(norm, schema=schema)

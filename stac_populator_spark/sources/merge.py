@@ -79,9 +79,20 @@ def merge_upsert_bucketed(spark: SparkSession, table_path: str, updates: DataFra
         "bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
     )
     touched = sorted(r["bucket"] for r in updates.select("bucket").distinct().collect())
-    if os.path.exists(os.path.join(table_path, "_SUCCESS")) or any(
-        e.startswith("bucket=") for e in (os.listdir(table_path) if os.path.exists(table_path) else [])
-    ):
+    # layout detection goes by bucket= partition directories ONLY — a
+    # _SUCCESS marker also exists on flat (non-bucketed) merge_upsert
+    # tables, whose schema has no bucket column; merging the two layouts
+    # silently would leave stale flat files next to bucket dirs
+    entries = os.listdir(table_path) if os.path.exists(table_path) else []
+    is_bucketed = any(e.startswith("bucket=") for e in entries)
+    has_data = any(e.endswith(".parquet") or e.startswith("bucket=") for e in entries)
+    if has_data and not is_bucketed:
+        raise ValueError(
+            f"{table_path} holds a non-bucket-partitioned table; "
+            "merge_upsert_bucketed cannot upsert into a flat layout — "
+            "use merge_upsert, or rewrite the table bucketed first"
+        )
+    if is_bucketed:
         current = spark.read.parquet(table_path).filter(F.col("bucket").isin(touched))
         kept = current.join(updates.select(key), key, "left_anti")
         merged = kept.unionByName(updates, allowMissingColumns=False)
