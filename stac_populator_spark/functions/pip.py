@@ -25,7 +25,11 @@ def points_in_ring(lons: np.ndarray, lats: np.ndarray, ring) -> np.ndarray:
     x2, y2 = ring[1:, 0], ring[1:, 1]
     # For each edge: does a horizontal ray from (lon, lat) cross it?
     ydiff = y2 - y1
-    with np.errstate(divide="ignore", invalid="ignore"):
+    # horizontal edges (ydiff == 0) produce inf/nan/overflow lanes here;
+    # they are filtered by the straddles mask below (a horizontal edge
+    # never straddles the ray), so all three float-error classes are
+    # expected and silenced — the suite runs with RuntimeWarning-as-error
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         xint = x1[None, :] + (lats[:, None] - y1[None, :]) * (x2 - x1)[None, :] / ydiff[None, :]
     straddles = (y1[None, :] > lats[:, None]) != (y2[None, :] > lats[:, None])
     crossings = straddles & (lons[:, None] < xint)

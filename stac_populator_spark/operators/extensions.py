@@ -43,24 +43,80 @@ SERVICE_ROLES = {
     "netcdfsubsetpoint": ["data"],
 }
 
-# canonical asset keys (ServiceType enum values, stac_utils.py:315-345) —
-# the reference keys assets by ServiceType(<svc>).value, so 'OPENDAP' in
-# access_urls becomes asset key 'OpenDAP'
+# canonical asset keys — the COMPLETE ServiceType enum
+# (stac_utils.py:315-345, all members). The reference keys assets by
+# ServiceType(<svc>).value, so 'OPENDAP' in access_urls becomes asset key
+# 'OpenDAP'. 'Compound' is a member but is filtered out at catalog-crawl
+# time (input.py:136 service[@serviceType!='Compound']) — kept here so
+# from_value-style lookups resolve it, mirrored by skipping it in
+# assets_from_access_urls.
 SERVICE_CANONICAL = {
-    "httpserver": "HTTPServer",
+    "adde": "ADDE",
+    "dap4": "DAP4",
+    "dods": "DODS",  # same as OpenDAP
     "opendap": "OpenDAP",
+    "opendapg": "OpenDAPG",
+    "netcdfsubset": "NetcdfSubset",  # THREDDS < 5.0
+    "netcdfsubsetgrid": "NetcdfSubsetGrid",  # THREDDS > 5.0
+    "netcdfsubsetpoint": "NetcdfSubsetPoint",  # THREDDS > 5.0
+    "cdmremote": "CdmRemote",
+    "cdmfeature": "CdmFeature",
+    "ncjson": "ncJSON",
+    "h5service": "H5Service",
+    "httpserver": "HTTPServer",
+    "ftp": "FTP",
+    "gridftp": "GridFTP",
+    "file": "File",
+    "iso": "ISO",
+    "las": "LAS",
     "ncml": "NcML",
+    "uddc": "UDDC",
     "wcs": "WCS",
     "wms": "WMS",
-    "netcdfsubset": "NetcdfSubset",
-    "netcdfsubsetgrid": "NetcdfSubsetGrid",
-    "netcdfsubsetpoint": "NetcdfSubsetPoint",
-    "dap4": "DAP4",
-    "dods": "DODS",
-    "iso": "ISO",
-    "uddc": "UDDC",
+    "wsdl": "WSDL",
+    "webform": "WebForm",
     "catalog": "Catalog",
+    "compound": "Compound",
+    "resolver": "Resolver",
+    "thredds": "THREDDS",
 }
+
+
+def canonical_service_key(key: F.Column, href: F.Column | None = None) -> F.Column:
+    """ServiceType.from_value as a column expression: case-insensitive
+    lookup with '_service' suffix strip (stac_utils.py:347-358); unknown
+    services pass through unchanged (the reference's explicit-default
+    path). With ``href``, a bare 'NetcdfSubset' key is disambiguated to
+    Grid/Point from the service base path, mirroring the crawl-time rule
+    (input.py:127-133: 'point'/'grid' as a path component)."""
+    norm = F.regexp_replace(F.lower(key), "_service$", "")
+    expr = key  # unknown → pass through
+    for svc, canon in SERVICE_CANONICAL.items():
+        expr = F.when(norm == svc, F.lit(canon)).otherwise(expr)
+    if href is not None:
+        expr = (
+            F.when(
+                (norm == "netcdfsubset") & href.rlike("(^|/)point(/|$)"),
+                F.lit("NetcdfSubsetPoint"),
+            )
+            .when(
+                (norm == "netcdfsubset") & href.rlike("(^|/)grid(/|$)"),
+                F.lit("NetcdfSubsetGrid"),
+            )
+            .otherwise(expr)
+        )
+    return expr
+
+
+def canonicalize_access_urls(access_urls_col: F.Column) -> F.Column:
+    """MAP<raw service, href> → MAP<canonical ServiceType value, href>,
+    dropping Compound entries (input.py:136) and disambiguating
+    NetcdfSubset grid/point from the href path — the Spark reading of
+    THREDDSLoader._update_access_urls (S3, input.py:117-144)."""
+    canon = F.transform_keys(
+        access_urls_col, lambda k, v: canonical_service_key(k, v)
+    )
+    return F.map_filter(canon, lambda k, v: k != F.lit("Compound"))
 
 
 def prefix_properties(df: DataFrame, prefix: str, fields: list[str]) -> DataFrame:
@@ -116,10 +172,15 @@ def filter_assets_by_service(assets_col: F.Column, service_types: list[str]) -> 
     return F.map_filter(assets_col, lambda k, v: F.array_contains(wanted, norm(k)))
 
 
-def assets_from_access_urls(access_urls_col: F.Column) -> F.Column:
+def assets_from_access_urls(access_urls_col: F.Column, canonical: bool = True) -> F.Column:
     """MAP<service, href> → MAP<service, struct<href, type, roles>> using
     the broadcast media/roles tables (thredds.py:135-172). Unknown services
-    get null type and ['data'] (the reference's default role)."""
+    get null type and ['data'] (the reference's default role). By default
+    keys are canonicalized first (ServiceType.from_value, the reference's
+    THREDDSHelper.__init__ thredds.py:139) and Compound entries dropped."""
+    if canonical:
+        access_urls_col = canonicalize_access_urls(access_urls_col)
+
     def media(k):
         expr = F.lit(None).cast("string")
         for svc, mt in SERVICE_MEDIA_TYPES.items():

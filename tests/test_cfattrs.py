@@ -77,7 +77,9 @@ def test_assets_from_fixture_access_urls(spark, cf_df):
     assets = items.select(assets_from_access_urls(F.col("access_urls")).alias("a")).collect()[0]["a"]
     assert assets["HTTPServer"]["type"] == "application/x-netcdf"
     assert list(assets["HTTPServer"]["roles"]) == ["data"]
-    assert assets["NCML"]["type"] == "application/xml"
+    # keys are canonical ServiceType values (THREDDSHelper canonicalizes
+    # via ServiceType.from_value, thredds.py:139): raw 'NCML' → 'NcML'
+    assert assets["NcML"]["type"] == "application/xml"
 
 
 def test_malformed_cf_json_routed_not_dropped(spark):
