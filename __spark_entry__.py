@@ -463,6 +463,36 @@ def _dead_letter_split(spark, sf_dir):
     return dead.select("doc_id", "failure_reason")
 
 
+# jsonschema-subset document driving the schema-validation stage — the
+# schema is DATA (reference loads per-extension schema files and runs
+# jsonschema.iter_errors, extensions/base.py:107-125); the engine compiles
+# it to column predicates (operators/validate.compile_jsonschema)
+_DOC_JSONSCHEMA = {
+    "required": ["title", "lang", "source", "text"],
+    "properties": {
+        "lang": {"type": "string", "enum": ["de", "en", "es", "fr"]},
+        "source": {"type": "string", "pattern": "^src[0-9]$"},
+        "n_chars": {"type": "integer", "minimum": 60},
+        "text": {"type": "string", "minLength": 10},
+    },
+}
+
+
+def _stac_schema_split(spark, sf_dir):
+    from stac_populator_spark.operators.validate import schema_failure_reason
+
+    d = _t(spark, sf_dir, "documents")
+    items = d.withColumn(
+        "title",
+        F.when(
+            F.col("doc_id") % 13 != 0, F.concat(F.lit("T"), F.col("doc_id").cast("string"))
+        ),
+    )
+    return items.select(
+        "doc_id", schema_failure_reason(_DOC_JSONSCHEMA, items).alias("failure_reason")
+    )
+
+
 def _events_pivot(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     day = F.date_format("ts", "yyyy-MM-dd").alias("day")
@@ -1435,6 +1465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_total": _running_total,
         "lineitem_rollup": _lineitem_rollup,
         "dead_letter_split": _dead_letter_split,
+        "stac_schema_split": _stac_schema_split,
         "events_pivot": _events_pivot,
         "tile_pyramid": _tile_pyramid,
         "quantity_percentiles": _quantity_percentiles,
@@ -1963,6 +1994,21 @@ def oracle_sql() -> dict[str, str]:
                    END AS failure_reason
             FROM documents
             WHERE doc_id % 17 = 0 OR doc_id % 13 = 0 OR doc_id % 19 = 0
+        """,
+        "stac_schema_split": """
+            -- DuckDB mirror of the compiled jsonschema rules, in rule
+            -- order: required (schema order) then per-property checks
+            SELECT doc_id,
+                   CASE WHEN doc_id % 13 = 0 THEN 'required:title'
+                        WHEN lang IS NULL THEN 'required:lang'
+                        WHEN source IS NULL THEN 'required:source'
+                        WHEN text IS NULL THEN 'required:text'
+                        WHEN lang NOT IN ('de','en','es','fr') THEN 'lang:enum'
+                        WHEN NOT regexp_matches(source, '^src[0-9]$') THEN 'source:pattern'
+                        WHEN n_chars < 60 THEN 'n_chars:minimum'
+                        WHEN LENGTH(text) < 10 THEN 'text:minLength'
+                   END AS failure_reason
+            FROM documents
         """,
         "events_pivot": """
             SELECT STRFTIME(ts, '%Y-%m-%d') AS day,

@@ -77,6 +77,93 @@ def split_valid_invalid(items: DataFrame, require_datetime: bool = False,
     return valid, dead
 
 
+_INT_RE = r"^-?\d+$"
+_NUM_RE = r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$"
+
+
+def compile_jsonschema(schema: dict, items: DataFrame) -> list:
+    """Compile a jsonschema-subset document into ordered
+    (reason, violation-predicate) column rules — the schema itself is DATA,
+    like the reference's per-extension schema files validated with
+    jsonschema.iter_errors (extensions/base.py:107-125; exercised by
+    tests/test_cmip6_datacube.py:43-57).
+
+    Supported keywords: ``required``, and per-property ``type`` (string/
+    number/integer/boolean), ``enum``, ``pattern`` (search semantics, like
+    jsonschema/rlike), ``minimum``/``maximum``, ``minLength``/
+    ``maxLength``. Properties map to DataFrame columns; a property absent
+    from the DataFrame is an always-null column (``required`` fails,
+    value checks are vacuous — jsonschema's absent-property rule).
+    Reasons are ``required:<prop>`` / ``<prop>:<check>``; rule order is
+    schema order (required first), so the dead-letter reason is the FIRST
+    violation, mirroring the reference's single logged error per item.
+    """
+    from pyspark.sql import types as T
+
+    fields = {f.name: f.dataType for f in items.schema.fields}
+
+    def col_of(name):
+        return F.col(name) if name in fields else F.lit(None).cast("string")
+
+    def is_numeric(name):
+        return isinstance(fields.get(name), (T.IntegerType, T.LongType, T.FloatType,
+                                             T.DoubleType, T.DecimalType, T.ShortType,
+                                             T.ByteType))
+
+    rules = []
+    for prop in schema.get("required", []):
+        rules.append((f"required:{prop}", col_of(prop).isNull()))
+
+    for prop, checks in schema.get("properties", {}).items():
+        v = col_of(prop)
+        present = v.isNotNull()
+        typ = checks.get("type")
+        if typ is not None:
+            if typ in ("number", "integer") and not is_numeric(prop):
+                pat = _INT_RE if typ == "integer" else _NUM_RE
+                rules.append((f"{prop}:type", present & ~v.cast("string").rlike(pat)))
+            elif typ == "string" and is_numeric(prop):
+                rules.append((f"{prop}:type", present))
+            elif typ == "boolean" and not isinstance(fields.get(prop), T.BooleanType):
+                rules.append(
+                    (f"{prop}:type", present & ~F.lower(v.cast("string")).isin("true", "false"))
+                )
+            # matching Spark type → statically satisfied, no runtime rule
+        if "enum" in checks:
+            rules.append((f"{prop}:enum", present & ~v.isin(list(checks["enum"]))))
+        if "pattern" in checks:
+            rules.append((f"{prop}:pattern", present & ~v.cast("string").rlike(checks["pattern"])))
+        num = v.cast("double") if is_numeric(prop) else F.when(
+            v.cast("string").rlike(_NUM_RE), v.cast("double")
+        )
+        if "minimum" in checks:
+            rules.append((f"{prop}:minimum", present & (num < float(checks["minimum"]))))
+        if "maximum" in checks:
+            rules.append((f"{prop}:maximum", present & (num > float(checks["maximum"]))))
+        if "minLength" in checks:
+            rules.append((f"{prop}:minLength", present & (F.length(v) < int(checks["minLength"]))))
+        if "maxLength" in checks:
+            rules.append((f"{prop}:maxLength", present & (F.length(v) > int(checks["maxLength"]))))
+    return rules
+
+
+def schema_failure_reason(schema: dict, items: DataFrame) -> F.Column:
+    """First-violation reason column (null = schema-valid)."""
+    reason = F.lit(None).cast("string")
+    for name, rule in reversed(compile_jsonschema(schema, items)):
+        reason = F.when(rule, F.lit(name)).otherwise(reason)
+    return reason
+
+
+def split_by_schema(items: DataFrame, schema: dict):
+    """(valid, dead_letter) driven by a jsonschema-subset document; dead
+    rows carry the first failing rule as failure_reason."""
+    with_reason = items.withColumn("failure_reason", schema_failure_reason(schema, items))
+    valid = with_reason.filter(F.col("failure_reason").isNull()).drop("failure_reason")
+    dead = with_reason.filter(F.col("failure_reason").isNotNull())
+    return valid, dead
+
+
 def cv_check(col: str, vocabulary: tuple | list) -> F.Column:
     """Controlled-vocabulary predicate (the reference turns pyessv CV terms
     into Literal types and rejects anything else — extensions/cmip6.py:
