@@ -81,6 +81,175 @@ def lcc_inverse(
     return lon, np.degrees(phi)
 
 
+def tm_inverse(
+    x,
+    y,
+    a: float = WGS84_A,
+    f: float = 1.0 / 298.257223563,
+    lon0: float = -3.0,
+    lat0: float = 0.0,
+    k0: float = 0.9996,
+    fe: float = 500000.0,
+    fn: float = 0.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Ellipsoidal Transverse Mercator inverse (Snyder pp.63-64, eqs
+    8-17…8-25) — the generic TM family covering every UTM zone and most
+    national grids. Defaults are WGS84 UTM (k0=0.9996, FE=500km).
+    Series accuracy ≲1e-9° within a 6° zone (pinned by the
+    forward∘inverse roundtrip test against the independent forward
+    series)."""
+    e2 = 2 * f - f * f
+    ep2 = e2 / (1 - e2)
+    e1 = (1 - np.sqrt(1 - e2)) / (1 + np.sqrt(1 - e2))
+
+    def meridian_arc(phi):
+        return a * (
+            (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256) * phi
+            - (3 * e2 / 8 + 3 * e2**2 / 32 + 45 * e2**3 / 1024) * np.sin(2 * phi)
+            + (15 * e2**2 / 256 + 45 * e2**3 / 1024) * np.sin(4 * phi)
+            - (35 * e2**3 / 3072) * np.sin(6 * phi)
+        )
+
+    m0 = meridian_arc(np.radians(lat0))
+    m = m0 + (np.asarray(y, dtype=np.float64) - fn) / k0
+    mu = m / (a * (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256))
+    phi1 = (
+        mu
+        + (3 * e1 / 2 - 27 * e1**3 / 32) * np.sin(2 * mu)
+        + (21 * e1**2 / 16 - 55 * e1**4 / 32) * np.sin(4 * mu)
+        + (151 * e1**3 / 96) * np.sin(6 * mu)
+        + (1097 * e1**4 / 512) * np.sin(8 * mu)
+    )
+    sin1, cos1, tan1 = np.sin(phi1), np.cos(phi1), np.tan(phi1)
+    c1 = ep2 * cos1**2
+    t1 = tan1**2
+    n1 = a / np.sqrt(1 - e2 * sin1**2)
+    r1 = a * (1 - e2) / (1 - e2 * sin1**2) ** 1.5
+    d = (np.asarray(x, dtype=np.float64) - fe) / (n1 * k0)
+    phi = phi1 - (n1 * tan1 / r1) * (
+        d**2 / 2
+        - (5 + 3 * t1 + 10 * c1 - 4 * c1**2 - 9 * ep2) * d**4 / 24
+        + (61 + 90 * t1 + 298 * c1 + 45 * t1**2 - 252 * ep2 - 3 * c1**2) * d**6 / 720
+    )
+    lam = (
+        d
+        - (1 + 2 * t1 + c1) * d**3 / 6
+        + (5 - 2 * c1 + 28 * t1 - 3 * c1**2 + 8 * ep2 + 24 * t1**2) * d**5 / 120
+    ) / cos1
+    return lon0 + np.degrees(lam), np.degrees(phi)
+
+
+def tm_forward(
+    lon,
+    lat,
+    a: float = WGS84_A,
+    f: float = 1.0 / 298.257223563,
+    lon0: float = -3.0,
+    lat0: float = 0.0,
+    k0: float = 0.9996,
+    fe: float = 500000.0,
+    fn: float = 0.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Ellipsoidal TM forward (Snyder p.61, eqs 8-9…8-14) — an independent
+    series used to pin ``tm_inverse`` by roundtrip (and anchor cases:
+    the natural origin maps exactly to (FE, FN))."""
+    e2 = 2 * f - f * f
+    ep2 = e2 / (1 - e2)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    sinp, cosp, tanp = np.sin(phi), np.cos(phi), np.tan(phi)
+    n = a / np.sqrt(1 - e2 * sinp**2)
+    t = tanp**2
+    c = ep2 * cosp**2
+    aa = lam * cosp
+
+    def meridian_arc(p):
+        return a * (
+            (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256) * p
+            - (3 * e2 / 8 + 3 * e2**2 / 32 + 45 * e2**3 / 1024) * np.sin(2 * p)
+            + (15 * e2**2 / 256 + 45 * e2**3 / 1024) * np.sin(4 * p)
+            - (35 * e2**3 / 3072) * np.sin(6 * p)
+        )
+
+    m = meridian_arc(phi)
+    m0 = meridian_arc(np.radians(lat0))
+    x = fe + k0 * n * (
+        aa
+        + (1 - t + c) * aa**3 / 6
+        + (5 - 18 * t + t**2 + 72 * c - 58 * ep2) * aa**5 / 120
+    )
+    y = fn + k0 * (
+        m
+        - m0
+        + n * tanp * (
+            aa**2 / 2
+            + (5 - t + 9 * c + 4 * c**2) * aa**4 / 24
+            + (61 - 58 * t + t**2 + 600 * c - 330 * ep2) * aa**6 / 720
+        )
+    )
+    return x, y
+
+
+def utm_params(code: int) -> dict | None:
+    """EPSG WGS84 UTM codes → TM parameters: 326zz = zone zz north,
+    327zz = zone zz south (lon0 = 6·zone − 183, FN = 0 / 10,000km)."""
+    if 32601 <= code <= 32660:
+        zone, fn = code - 32600, 0.0
+    elif 32701 <= code <= 32760:
+        zone, fn = code - 32700, 10000000.0
+    else:
+        return None
+    return {"lon0": 6.0 * zone - 183.0, "k0": 0.9996, "fe": 500000.0, "fn": fn}
+
+
+def _tm_wkt_params(spec: str) -> dict | None:
+    """Parse TM parameters out of a WKT that declares a Transverse
+    Mercator conversion (WKT1 'Transverse_Mercator' PARAMETER names or
+    WKT2 'Longitude of natural origin' style)."""
+    if not re.search(r"Transverse[ _]?Mercator", spec, re.IGNORECASE):
+        return None
+
+    def p(*names, default=None):
+        for nm in names:
+            m = re.search(
+                r'PARAMETER\s*\[\s*"' + nm + r'"\s*,\s*(-?[\d.eE+]+)', spec, re.IGNORECASE
+            )
+            if m:
+                return float(m.group(1))
+        return default
+
+    return {
+        "lon0": p("central_meridian", "Longitude of natural origin", default=0.0),
+        "lat0": p("latitude_of_origin", "Latitude of natural origin", default=0.0),
+        "k0": p("scale_factor", "Scale factor at natural origin", default=1.0),
+        "fe": p("false_easting", "False easting", default=0.0),
+        "fn": p("false_northing", "False northing", default=0.0),
+    }
+
+
+def compound_horizontal(spec: str) -> str | None:
+    """CompoundCRS handling (reference: vertical axis promotes the CRS to
+    3D and z passes through to a 6-element bbox — stac_utils.py:146-165,
+    docs/crs.md:28-33): return the horizontal component of a
+    COMPOUNDCRS/COMPD_CS WKT, or None if not compound. The vertical
+    component contributes no horizontal transform — z is carried as-is."""
+    if not re.match(r"\s*(COMPOUNDCRS|COMPD_CS)\s*\[", spec, re.IGNORECASE):
+        return None
+    # first nested CRS block = horizontal component
+    m = re.search(r"(PROJCRS|PROJCS|GEOGCRS|GEOGCS)\s*\[", spec, re.IGNORECASE)
+    if not m:
+        return None
+    depth, i = 0, m.start()
+    for j in range(m.start(), len(spec)):
+        if spec[j] == "[":
+            depth += 1
+        elif spec[j] == "]":
+            depth -= 1
+            if depth == 0:
+                return spec[i : j + 1]
+    return None
+
+
 def eqc_inverse(x, y) -> tuple[np.ndarray, np.ndarray]:
     """EPSG:4087 (World Equidistant Cylindrical, lat_ts=0) inverse:
     plate-carrée metres → degrees (Snyder p.90)."""
@@ -164,11 +333,24 @@ def transform_to_wgs84(x, y, z=None, crs_spec="EPSG:4326"):
     documented seam where a pyproj transformer plugs in; callers route
     that to the dead-letter path.
     """
+    spec = _spec_text(crs_spec)
+    horizontal = compound_horizontal(spec)
+    if horizontal is not None:
+        # CompoundCRS: transform the horizontal component, pass z through
+        # (vertical promotion → 6-element bbox, stac_utils.py:146-165)
+        return transform_to_wgs84(x, y, z, horizontal)
+
     code = _epsg_code(crs_spec)
     x_lon = x_is_longitude(crs_spec)
     lon_in, lat_in = (x, y) if x_lon else (y, x)
 
-    if code in (4326, 4979) or re.search(r"GEOGCRS|GEOGCS", _spec_text(crs_spec)):
+    utm = utm_params(code) if code is not None else None
+    tm_wkt = _tm_wkt_params(spec) if utm is None else None
+    if utm is not None:
+        lon, lat = tm_inverse(x, y, **utm)
+    elif tm_wkt is not None:
+        lon, lat = tm_inverse(x, y, **tm_wkt)
+    elif code in (4326, 4979) or re.search(r"GEOGCRS|GEOGCS", _spec_text(crs_spec)):
         lon = np.asarray(lon_in, dtype=np.float64)
         shift = _primem_shift(crs_spec)
         if shift:  # e.g. PRIMEM -360: the 0-360 convention

@@ -62,8 +62,10 @@ def test_from_nad83_statcan_lambert_epsg3348():
 
 
 def test_unregistered_crs_raises():
+    # EPSG:2154 (RGF93 / Lambert-93): a projection family outside the
+    # registry (UTM 326xx/327xx is registered since round 3)
     with pytest.raises(NotImplementedError):
-        transform_to_wgs84([0], [0], None, "EPSG:32633")
+        transform_to_wgs84([0], [0], None, "EPSG:2154")
 
 
 def test_noncompliant_output_raises():
@@ -116,7 +118,7 @@ def test_force_crs_wins_over_bounds_crs():
         "geospatial_lon_max": 280.0,
         "geospatial_lat_min": 30.0,
         "geospatial_lat_max": 40.0,
-        "geospatial_bounds_crs": "EPSG:32633",  # would dead-letter
+        "geospatial_bounds_crs": "EPSG:2154",  # would dead-letter
     }
     rec = parse_cf_document(_doc(cf, {"force_crs": WKT_0_360}))
     assert rec["geo_error"] is None
@@ -129,7 +131,7 @@ def test_unknown_crs_routes_to_geo_error():
         "geospatial_lon_max": 2.0,
         "geospatial_lat_min": 3.0,
         "geospatial_lat_max": 4.0,
-        "geospatial_bounds_crs": "EPSG:32633",
+        "geospatial_bounds_crs": "EPSG:2154",
     }
     rec = parse_cf_document(_doc(cf))
     assert rec["geo_error"] is not None
@@ -179,3 +181,123 @@ def test_lcc_inverse_roundtrips_independent_forward():
     # sub-centimetre: 1e-9 degrees ≈ 0.1 mm
     assert np.abs(lon2 - lon).max() < 1e-9
     assert np.abs(lat2_ - lat).max() < 1e-9
+
+
+def test_utm_inverse_roundtrips_independent_forward():
+    # tm_forward is Snyder's forward series (8-9…8-14), tm_inverse the
+    # inverse series (8-17…8-25) — independent expansions; roundtrip
+    # agreement over the whole zone pins both
+    import numpy as np
+
+    from stac_populator_spark.functions.crs import tm_forward, tm_inverse, utm_params
+
+    p = utm_params(32630)  # UTM zone 30N
+    rng = np.random.default_rng(30)
+    lon = rng.uniform(-6, 0, 500)  # zone 30 span
+    lat = rng.uniform(-80, 84, 500)
+    x, y = tm_forward(lon, lat, **p)
+    lon2, lat2 = tm_inverse(x, y, **p)
+    # series truncation grows toward the zone corners at ±80°+:
+    # 2e-8° ≈ 2 mm — far inside pyproj-comparison tolerance
+    assert np.abs(lon2 - lon).max() < 2e-8
+    assert np.abs(lat2 - lat).max() < 2e-8
+
+
+def test_utm_anchor_values():
+    # natural origin maps exactly to (FE, FN); northing on the central
+    # meridian = k0 × WGS84 meridian arc (arc to 40°N = 4,429,529.03 m —
+    # derived from the quarter meridian 10,001,965.73 m, a published
+    # geodesy constant), matching pyproj's EPSG:32630 output to <1 m
+    import numpy as np
+
+    from stac_populator_spark.functions.crs import tm_forward, tm_inverse, transform_to_wgs84
+
+    x, y = tm_forward(np.array([-3.0]), np.array([0.0]))
+    assert abs(x[0] - 500000.0) < 1e-6 and abs(y[0]) < 1e-6
+    x, y = tm_forward(np.array([-3.0]), np.array([40.0]))
+    assert abs(x[0] - 500000.0) < 1e-6
+    assert abs(y[0] - 0.9996 * 4429529.03) < 1.0
+
+    # the registry path: EPSG:32630 easting/northing → lon/lat
+    lon, lat, _ = transform_to_wgs84(np.array([500000.0]), np.array([4427757.2]),
+                                     crs_spec="EPSG:32630")
+    assert abs(lon[0] - (-3.0)) < 1e-8
+    assert abs(lat[0] - 40.0) < 1e-6
+
+
+def test_utm_south_false_northing():
+    import numpy as np
+
+    from stac_populator_spark.functions.crs import tm_forward, tm_inverse, utm_params
+
+    p = utm_params(32719)  # zone 19S (lon0 = -69, FN = 10,000 km)
+    assert p["lon0"] == -69.0 and p["fn"] == 10000000.0
+    x, y = tm_forward(np.array([-70.6]), np.array([-33.45]), **p)
+    assert y[0] < 10000000.0  # southern hemisphere sits below FN
+    lon2, lat2 = tm_inverse(x, y, **p)
+    assert abs(lon2[0] - (-70.6)) < 1e-9 and abs(lat2[0] - (-33.45)) < 1e-9
+
+
+_COMPOUND_UTM_WKT = """COMPD_CS["WGS 84 / UTM zone 30N + EGM96 height",
+    PROJCS["WGS 84 / UTM zone 30N",
+        GEOGCS["WGS 84", DATUM["WGS_1984",
+            SPHEROID["WGS 84",6378137,298.257223563]],
+            PRIMEM["Greenwich",0], UNIT["degree",0.0174532925199433]],
+        PROJECTION["Transverse_Mercator"],
+        PARAMETER["latitude_of_origin",0],
+        PARAMETER["central_meridian",-3],
+        PARAMETER["scale_factor",0.9996],
+        PARAMETER["false_easting",500000],
+        PARAMETER["false_northing",0],
+        UNIT["metre",1]],
+    VERT_CS["EGM96 height",
+        VERT_DATUM["EGM96 geoid",2005],
+        UNIT["metre",1], AXIS["Gravity-related height",UP]]]"""
+
+
+def test_compound_utm_vertical_passthrough():
+    # CompoundCRS (stac_utils.py:146-165, docs/crs.md:28-33): horizontal
+    # component transforms, z passes through untouched
+    import numpy as np
+
+    from stac_populator_spark.functions.crs import compound_horizontal, transform_to_wgs84
+
+    horiz = compound_horizontal(_COMPOUND_UTM_WKT)
+    assert horiz is not None and horiz.startswith("PROJCS") and "VERT_CS" not in horiz
+    lon, lat, z = transform_to_wgs84(
+        np.array([500000.0]), np.array([4427757.2]), np.array([123.5]),
+        crs_spec=_COMPOUND_UTM_WKT,
+    )
+    assert abs(lon[0] - (-3.0)) < 1e-8 and abs(lat[0] - 40.0) < 1e-6
+    assert z[0] == 123.5
+
+
+def test_compound_utm_item_through_collection_extent(spark):
+    # a 3D UTM item flows end-to-end: transform → 6-element bbox → A1
+    # z-aware union in collection_extent
+    import numpy as np
+    import pandas as pd
+
+    from stac_populator_spark.functions.crs import transform_to_wgs84
+    from stac_populator_spark.operators.collection_agg import collection_extent
+
+    e = np.array([400000.0, 500000.0, 600000.0])
+    n = np.array([4300000.0, 4427757.2, 4500000.0])
+    zmins = np.array([10.0, 5.0, 20.0])
+    zmaxs = np.array([100.0, 250.0, 80.0])
+    lon, lat, _ = transform_to_wgs84(e, n, crs_spec=_COMPOUND_UTM_WKT)
+    items = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "collection_id": ["c"] * 3,
+                "lon_min": lon, "lat_min": lat, "lon_max": lon, "lat_max": lat,
+                "z_min": zmins, "z_max": zmaxs,
+                "datetime": pd.to_datetime(["2020-01-01", "2020-01-02", "2020-01-03"]),
+            }
+        )
+    )
+    row = collection_extent(items).collect()[0]
+    bbox = list(row["bbox"])
+    assert len(bbox) == 6
+    assert bbox[2] == 5.0 and bbox[5] == 250.0  # z union
+    assert bbox[0] == min(lon) and bbox[4] == max(lat)
