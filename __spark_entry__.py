@@ -260,7 +260,10 @@ def _tiles_footprints(spark, sf_dir):
     return assign_tiles_to_footprints(tiles, fps)
 
 
-def _knn_docs(spark, sf_dir):
+def _knn_docs_bruteforce(spark, sf_dir):
+    """Brute-force crossJoin kNN — the small-input CORRECTNESS ORACLE shape
+    only (mirrors the DuckDB side exactly). The engine's scale paths are
+    knn_join (bucketed, `knn_exact_docs` query) — never this crossJoin."""
     pts = _doc_points(_t(spark, sf_dir, "documents")).filter(F.col("doc_id") % 7 == 0)
     l = pts.select(F.col("doc_id").alias("doc_id"), F.col("lon").alias("l_lon"), F.col("lat").alias("l_lat"))
     r = pts.select(F.col("doc_id").alias("neighbor_id"), F.col("lon").alias("r_lon"), F.col("lat").alias("r_lat"))
@@ -552,6 +555,59 @@ def _quantity_percentiles(spark, sf_dir):
         F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90"),
         F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("price_p25"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+def _approx_quantiles_check(spark, sf_dir):
+    """Approx sketch beside the exact operator (SURVEY §2.5 closing note):
+    ``approx_percentile`` (a t-digest-style mergeable sketch — the
+    10^12-row path where exact percentile's full sort-per-group is
+    unaffordable) checked against exact ``percentile`` within the sketch's
+    stated accuracy. The oracle emits the exact values + a literal TRUE:
+    if the sketch ever drifts outside the bound, within_bounds flips and
+    the value hash mismatches — the error bound IS the correctness gate."""
+    li = _t(spark, sf_dir, "lineitem")
+    acc = 10000  # 1/acc relative-rank accuracy
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("_p50"),
+        F.expr(f"approx_percentile(l_quantity, 0.5, {acc})").alias("_a50"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("_p90"),
+        F.expr(f"approx_percentile(l_extendedprice, 0.9, {acc})").alias("_a90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # rank-accuracy bound translated to a value bound: ±2% of the exact
+    # value + one unit (approx returns a data value; exact interpolates
+    # between adjacent values, so allow one inter-value gap)
+    ok = (
+        (F.abs(F.col("_a50") - F.col("_p50")) <= 0.02 * F.abs(F.col("_p50")) + 1.0)
+        & (F.abs(F.col("_a90") - F.col("_p90")) <= 0.02 * F.abs(F.col("_p90")) + 1.0)
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round("_p50", 4).alias("p50_exact"),
+        F.round("_p90", 4).alias("p90_price_exact"),
+        "n",
+        ok.alias("within_bounds"),
+    )
+
+
+def _approx_distinct_check(spark, sf_dir):
+    """HyperLogLog++ ``approx_count_distinct`` vs exact countDistinct per
+    group, within the configured relative standard deviation ×5 (a hard
+    bound at ~5 sigma). Oracle: exact counts + literal TRUE."""
+    o = _t(spark, sf_dir, "orders")
+    rsd = 0.01
+    agg = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact_customers"),
+        F.approx_count_distinct("o_custkey", rsd).alias("_approx"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    ok = (
+        F.abs(F.col("_approx") - F.col("exact_customers"))
+        <= 5 * rsd * F.col("exact_customers") + 1
+    )
+    return agg.select(
+        "o_orderpriority", "exact_customers", "n_orders", ok.alias("within_bounds")
     )
 
 
@@ -1452,7 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_points_tiles": _doc_points_tiles,
         "pip_points": _pip_points,
         "tiles_footprints": _tiles_footprints,
-        "knn_docs": _knn_docs,
+        "knn_docs_bruteforce": _knn_docs_bruteforce,
         "collection_extent": _collection_extent,
         "dedup_exact": _dedup_exact,
         "token_stats": _token_stats,
@@ -1469,6 +1525,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": _events_pivot,
         "tile_pyramid": _tile_pyramid,
         "quantity_percentiles": _quantity_percentiles,
+        "approx_quantiles_check": _approx_quantiles_check,
+        "approx_distinct_check": _approx_distinct_check,
         "segment_setops": _segment_setops,
         "events_props_json": _events_props_json,
         "jaccard_pairs": _jaccard_pairs,
@@ -1868,7 +1926,7 @@ def oracle_sql() -> dict[str, str]:
               ON t.t_lon_min <= f.f_lon_max AND t.t_lon_max >= f.f_lon_min
              AND t.t_lat_min <= f.f_lat_max AND t.t_lat_max >= f.f_lat_min
         """,
-        "knn_docs": f"""
+        "knn_docs_bruteforce": f"""
             WITH pts AS (SELECT * FROM ({_DOC_POINTS_SQL}) WHERE doc_id % 7 = 0),
             pairs AS (
               SELECT a.doc_id AS doc_id, b.doc_id AS neighbor_id,
@@ -2030,6 +2088,24 @@ def oracle_sql() -> dict[str, str]:
               FROM base, (SELECT UNNEST(RANGE(0, 8)) AS z)
             )
             SELECT z, x, y, COUNT(*) AS n_items FROM levels GROUP BY z, x, y
+        """,
+        "approx_quantiles_check": """
+            -- the sketch's error bound is the gate: the Spark side emits
+            -- within_bounds from |approx - exact| <= 2% of exact; any
+            -- sketch drift flips the flag and breaks the value hash
+            SELECT l_returnflag,
+                   ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS p50_exact,
+                   ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS p90_price_exact,
+                   COUNT(*) AS n,
+                   TRUE AS within_bounds
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "approx_distinct_check": """
+            SELECT o_orderpriority,
+                   COUNT(DISTINCT o_custkey) AS exact_customers,
+                   COUNT(*) AS n_orders,
+                   TRUE AS within_bounds
+            FROM orders GROUP BY o_orderpriority
         """,
         "quantity_percentiles": """
             SELECT l_returnflag,

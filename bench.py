@@ -45,7 +45,6 @@ def main():
         "events_daily",
         "doc_points_tiles",
         "pip_points",
-        "knn_docs",
         "collection_extent",
         "dedup_exact",
         "token_stats",

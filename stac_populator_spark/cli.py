@@ -26,7 +26,17 @@ def _footprints(spark, path: str | None):
     from .datagen import footprints_pdf
 
     if path:
-        pdf = spark.read.parquet(path).toPandas()
+        df = spark.read.parquet(path)
+        # footprints are the broadcast dim side — dim-side-small is the
+        # documented contract; fail explicitly instead of a driver OOM
+        n = df.limit(1_000_001).count()
+        if n > 1_000_000:
+            raise ValueError(
+                f"footprints table at {path} exceeds 1,000,000 rows — "
+                "not broadcastable as the PIP dim side; pre-aggregate or "
+                "partition the footprint set"
+            )
+        pdf = df.toPandas()
     else:
         pdf = footprints_pdf()
     return pdf

@@ -13,23 +13,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def partition_metrics(df: DataFrame, byte_cols: tuple = ()) -> DataFrame:
-    """(partition_id, rows, approx_bytes) per partition of ``df``.
+def partition_metrics(df: DataFrame, byte_cols: tuple = (),
+                      distinct_col: str | None = None) -> DataFrame:
+    """(partition_id, rows, approx_bytes[, approx_distinct]) per partition
+    of ``df``.
 
     approx_bytes sums the lengths of the given string/binary columns —
     the dominant payload columns (html/text) at this engine's scale.
+    ``distinct_col`` adds a HyperLogLog++ ``approx_count_distinct``
+    cardinality per partition (and HLL sketches merge, so the same metric
+    rolls up across partitions/stages) — at 10^12 rows an exact distinct
+    per metrics tick is its own shuffle; the sketch is O(1) memory.
     """
     size_expr = F.lit(0).cast("long")
     for c in byte_cols:
         size_expr = size_expr + F.coalesce(F.length(F.col(c)).cast("long"), F.lit(0))
+    aggs = [
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("_sz").alias("approx_bytes"),
+    ]
+    if distinct_col is not None:
+        aggs.append(F.approx_count_distinct(distinct_col, 0.02).alias("approx_distinct"))
     return (
         df.withColumn("_pid", F.spark_partition_id())
         .withColumn("_sz", size_expr)
         .groupBy(F.col("_pid").alias("partition_id"))
-        .agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.sum("_sz").alias("approx_bytes"),
-        )
+        .agg(*aggs)
         .orderBy("partition_id")
     )
 

@@ -84,3 +84,23 @@ def test_partition_metrics(spark):
     assert len(m) == 3
     assert sum(r["rows"] for r in m) == 300
     assert all(r["approx_bytes"] > 0 for r in m)
+
+
+def test_partition_metrics_hll_within_bound(spark):
+    # HLL approx_count_distinct in lineage metrics (rsd 0.02): per-
+    # partition cardinality within 5 sigma of exact on a known-cardinality
+    # input
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from stac_populator_spark.lineage import partition_metrics
+
+    n = 20000
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": [f"u{i % 3000}" for i in range(n)], "s": ["x" * 10] * n})
+    ).repartition(4)
+    m = partition_metrics(df, byte_cols=("s",), distinct_col="k").collect()
+    assert sum(r["rows"] for r in m) == n
+    # round-robin repartition spreads all 3000 keys into every partition
+    for r in m:
+        assert abs(r["approx_distinct"] - 3000) <= 5 * 0.02 * 3000 + 1, r
