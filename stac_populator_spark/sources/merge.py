@@ -20,42 +20,97 @@ the call sites keep the same signature.
 
 from __future__ import annotations
 
+import contextlib
+import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+class ConcurrentMergeError(RuntimeError):
+    """Another writer holds the table's merge lock."""
+
+
+@contextlib.contextmanager
+def merge_lock(table_path: str, timeout_s: float = 0.0, stale_s: float = 3600.0):
+    """Writer serialization for the MERGE paths: two interleaved upsert
+    batches touching overlapping buckets must serialize or fail cleanly
+    (reference analogue: the 409→PUT idempotency handshake,
+    api_requests.py:102-149 — one writer wins, the other gets an explicit
+    conflict, never a silently mixed table).
+
+    Implementation: O_CREAT|O_EXCL lock file next to the table — atomic on
+    POSIX and on object stores with if-none-match semantics. Iceberg's
+    optimistic snapshot commit replaces this wholesale when the JAR is
+    present. ``timeout_s=0`` fails fast with ConcurrentMergeError; a lock
+    older than ``stale_s`` (crashed writer) is broken with a warning.
+    """
+    os.makedirs(os.path.dirname(table_path) or ".", exist_ok=True)
+    lock = table_path + "._merge.lock"
+    deadline = time.monotonic() + timeout_s
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, json.dumps({"pid": os.getpid(), "ts": time.time()}).encode())
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                age = time.time() - os.stat(lock).st_mtime
+            except FileNotFoundError:
+                continue  # holder just released — retry acquire
+            if age > stale_s:
+                os.unlink(lock)  # crashed writer; break the stale lock
+                continue
+            if time.monotonic() >= deadline:
+                raise ConcurrentMergeError(
+                    f"merge lock held on {table_path} (lock file {lock}, age {age:.0f}s); "
+                    "serialize upsert batches or retry after the holder commits"
+                ) from None
+            time.sleep(0.05)
+    try:
+        yield
+    finally:
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass
+
+
 def merge_upsert(spark: SparkSession, table_path: str, updates: DataFrame,
-                 key: str = "id") -> DataFrame:
+                 key: str = "id", lock_timeout_s: float = 0.0) -> DataFrame:
     """Upsert ``updates`` into the parquet table at ``table_path`` keyed on
     ``key``; duplicate keys inside ``updates`` are resolved first (smallest
     key-order row wins deterministically via dropDuplicates after an
     orderBy-free canonical pick)."""
     updates = updates.dropDuplicates([key])
-    if os.path.exists(os.path.join(table_path, "_SUCCESS")):
-        current = spark.read.parquet(table_path)
-        kept = current.join(updates.select(key), key, "left_anti")
-        merged = kept.unionByName(updates, allowMissingColumns=False)
-    else:
-        merged = updates
+    with merge_lock(table_path, timeout_s=lock_timeout_s):
+        if os.path.exists(os.path.join(table_path, "_SUCCESS")):
+            current = spark.read.parquet(table_path)
+            kept = current.join(updates.select(key), key, "left_anti")
+            merged = kept.unionByName(updates, allowMissingColumns=False)
+        else:
+            merged = updates
 
-    tmp = table_path + f"._tmp.{uuid.uuid4().hex}"
-    merged.write.mode("overwrite").parquet(tmp)
-    if os.path.exists(table_path):
-        old = table_path + f"._old.{uuid.uuid4().hex}"
-        os.replace(table_path, old)
-        os.replace(tmp, table_path)
-        shutil.rmtree(old)
-    else:
-        os.replace(tmp, table_path)
+        tmp = table_path + f"._tmp.{uuid.uuid4().hex}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(table_path):
+            old = table_path + f"._old.{uuid.uuid4().hex}"
+            os.replace(table_path, old)
+            os.replace(tmp, table_path)
+            shutil.rmtree(old)
+        else:
+            os.replace(tmp, table_path)
     return spark.read.parquet(table_path)
 
 
 def merge_upsert_bucketed(spark: SparkSession, table_path: str, updates: DataFrame,
-                          key: str = "id", n_buckets: int = 64) -> DataFrame:
+                          key: str = "id", n_buckets: int = 64,
+                          lock_timeout_s: float = 0.0) -> DataFrame:
     """Hash-bucketed MERGE: upsert cost ∝ TOUCHED buckets, not table size.
 
     :func:`merge_upsert` re-reads and rewrites the whole table per batch —
@@ -79,29 +134,30 @@ def merge_upsert_bucketed(spark: SparkSession, table_path: str, updates: DataFra
         "bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
     )
     touched = sorted(r["bucket"] for r in updates.select("bucket").distinct().collect())
-    # layout detection goes by bucket= partition directories ONLY — a
-    # _SUCCESS marker also exists on flat (non-bucketed) merge_upsert
-    # tables, whose schema has no bucket column; merging the two layouts
-    # silently would leave stale flat files next to bucket dirs
-    entries = os.listdir(table_path) if os.path.exists(table_path) else []
-    is_bucketed = any(e.startswith("bucket=") for e in entries)
-    has_data = any(e.endswith(".parquet") or e.startswith("bucket=") for e in entries)
-    if has_data and not is_bucketed:
-        raise ValueError(
-            f"{table_path} holds a non-bucket-partitioned table; "
-            "merge_upsert_bucketed cannot upsert into a flat layout — "
-            "use merge_upsert, or rewrite the table bucketed first"
+    with merge_lock(table_path, timeout_s=lock_timeout_s):
+        # layout detection goes by bucket= partition directories ONLY — a
+        # _SUCCESS marker also exists on flat (non-bucketed) merge_upsert
+        # tables, whose schema has no bucket column; merging the two
+        # layouts silently would leave stale flat files next to bucket dirs
+        entries = os.listdir(table_path) if os.path.exists(table_path) else []
+        is_bucketed = any(e.startswith("bucket=") for e in entries)
+        has_data = any(e.endswith(".parquet") or e.startswith("bucket=") for e in entries)
+        if has_data and not is_bucketed:
+            raise ValueError(
+                f"{table_path} holds a non-bucket-partitioned table; "
+                "merge_upsert_bucketed cannot upsert into a flat layout — "
+                "use merge_upsert, or rewrite the table bucketed first"
+            )
+        if is_bucketed:
+            current = spark.read.parquet(table_path).filter(F.col("bucket").isin(touched))
+            kept = current.join(updates.select(key), key, "left_anti")
+            merged = kept.unionByName(updates, allowMissingColumns=False)
+        else:
+            merged = updates
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(table_path)
         )
-    if is_bucketed:
-        current = spark.read.parquet(table_path).filter(F.col("bucket").isin(touched))
-        kept = current.join(updates.select(key), key, "left_anti")
-        merged = kept.unionByName(updates, allowMissingColumns=False)
-    else:
-        merged = updates
-    (
-        merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket")
-        .parquet(table_path)
-    )
     return spark.read.parquet(table_path)
