@@ -58,6 +58,10 @@ def cmd_run(args) -> int:
             print(f"preflight failed: {reason}", file=sys.stderr)
             return 1
 
+    from .runlog import RunLog
+
+    log = RunLog(getattr(args, "runlog", None) or f"{args.out}/_runlog.jsonl")
+    log.event("run start", verb="run", pages=args.pages, out=args.out)
     spark = get_spark(app_name="stac-populator-run")
     pages = spark.read.parquet(args.pages)
     out = run_pipeline(
@@ -71,6 +75,9 @@ def cmd_run(args) -> int:
     out["errors"].write.mode("overwrite").parquet(f"{args.out}/errors")
     n = spark.read.parquet(f"{args.out}/items").count()
     n_err = spark.read.parquet(f"{args.out}/errors").count()
+    log.stage("items", n)
+    log.stage("collections", spark.read.parquet(f"{args.out}/collections").count())
+    log.failures("errors", spark.read.parquet(f"{args.out}/errors"))
     print(f"items written: {n} (+{n_err} dead-lettered) -> {args.out}/items")
     return 0
 
@@ -79,6 +86,13 @@ def cmd_export(args) -> int:
     from .session import get_spark
     from .sources.export import dedup_items_by_id, export_items_json
 
+    from .runlog import RunLog
+
+    # sibling path: the export tree itself must not pre-exist (the
+    # fresh-export mode="error" contract, reference FileExistsError
+    # export.py:95-118)
+    log = RunLog(getattr(args, "runlog", None) or f"{args.out.rstrip('/')}._runlog.jsonl")
+    log.event("run start", verb="export", items=args.items, out=args.out)
     spark = get_spark(app_name="stac-populator-export")
     items = spark.read.parquet(args.items)
     winners, report = dedup_items_by_id(items)
@@ -87,7 +101,9 @@ def cmd_export(args) -> int:
     # (underscore prefix: Spark readers ignore it when reading the export)
     report.write.mode("overwrite").parquet(f"{args.out}/_duplicates")
     n_dups = spark.read.parquet(f"{args.out}/_duplicates").count()
-    print(f"exported {winners.count()} items; duplicate ids: {n_dups}"
+    n_out = winners.count()
+    log.stage("export", n_out, duplicate_ids=n_dups)
+    print(f"exported {n_out} items; duplicate ids: {n_dups}"
           f" (report at {args.out}/_duplicates)")
     return 0
 
@@ -118,12 +134,15 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--checkpoint", default=None)
     r.add_argument("--catalog", default=None,
                    help="destination STAC catalog root; preflight-checked (P24)")
+    r.add_argument("--runlog", default=None,
+                   help="per-run JSONL structured log path (default <out>/_runlog.jsonl)")
     r.set_defaults(fn=cmd_run)
 
     e = sub.add_parser("export", help="items parquet → per-collection JSON tree")
     e.add_argument("--items", required=True)
     e.add_argument("--out", required=True)
     e.add_argument("--resume", action="store_true")
+    e.add_argument("--runlog", default=None)
     e.set_defaults(fn=cmd_export)
 
     u = sub.add_parser("update-collection", help="A1-A4 aggregation verb")

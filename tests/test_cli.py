@@ -76,3 +76,34 @@ def test_update_collection_verb(spark, tree):
     assert rc == 0
     ext = spark.read.parquet(f"{tree}/agg/extents")
     assert ext.count() > 0 and "bbox" in ext.columns
+
+
+def test_runlog_records_match_dead_letter_table(spark, tree):
+    # per-run JSONL structured log (reference log.py:53-94, emit sites
+    # populators.py:263-303): every record carries message + UTC timestamp
+    # + extras at the top level; the errors stage's failure_counts must
+    # equal the dead-letter table's groupBy(failure_reason) exactly
+    from pyspark.sql import functions as F
+
+    from stac_populator_spark.runlog import read_runlog
+
+    out = f"{tree}/out_runlog"
+    rc = main(["run", "--pages", f"{tree}/pages", "--out", out,
+               "--runlog", f"{tree}/run.jsonl"])
+    assert rc == 0
+    recs = read_runlog(f"{tree}/run.jsonl")
+    assert all("message" in r and "timestamp" in r for r in recs)
+    by_stage = {r.get("stage"): r for r in recs}
+    assert by_stage["items"]["rows"] == spark.read.parquet(f"{out}/items").count()
+    err = by_stage["errors"]
+    dead = spark.read.parquet(f"{out}/errors")
+    expected = {
+        r["failure_reason"]: r["n"]
+        for r in dead.groupBy("failure_reason").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert err["failure_counts"] == expected
+    assert err["failures"] == dead.count()
+    # start record identifies the verb and inputs (reference extras:
+    # item_loc/loader → here verb/pages/out)
+    start = recs[0]
+    assert start["verb"] == "run" and start["out"] == out
