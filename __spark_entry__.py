@@ -731,7 +731,9 @@ def _knn_exact_docs(spark, sf_dir):
     from stac_populator_spark.operators.knn import knn_join_exact
 
     pts = _doc_points(_t(spark, sf_dir, "documents")).filter(F.col("doc_id") % 7 == 0)
-    out = knn_join_exact(pts.withColumnRenamed("doc_id", "id"), k=3, res=4, radius=1)
+    # res=None: density-adaptive bucket size (knn.choose_res) — a fixed
+    # res is only right at one scale
+    out = knn_join_exact(pts.withColumnRenamed("doc_id", "id"), k=3, res=None, radius=1)
     return out.select(
         F.col("id").alias("doc_id"),
         F.col("neighbor_id"),

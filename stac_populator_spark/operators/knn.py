@@ -56,41 +56,77 @@ def hex_cell_at_res(res: int):
     return _udf
 
 
-def knn_join(
-    items: DataFrame,
-    k: int = 3,
-    res: int = 4,
-    radius: int = 1,
-    id_col: str = "id",
-) -> DataFrame:
-    """Cell-bucketed approximate kNN. Returns (id, neighbor_id, dist_km,
-    rank). ``res`` picks the bucket size (res 4 hexes ≈ 35 km edge on the
-    compat grid); choose so the expected k-th neighbor distance ≪ ring
-    extent."""
-    pts = (
-        items.filter(F.col("lon").isNotNull() & F.col("lat").isNotNull())
-        .select(
-            F.col(id_col).alias("id"),
-            "lon",
-            "lat",
-            hex_cell_at_res(res)(F.col("lon"), F.col("lat")).alias("cell"),
-        )
+def choose_res(n_points: int, k: int = 3, radius: int = 1,
+               lon_span: float = 360.0, lat_span: float = 170.0) -> int:
+    """Density-adaptive bucket resolution: pick the res whose expected
+    ring-neighborhood candidate count ≈ max(4k, 16) for the given point
+    density. Any FIXED res is superlinear in disguise — per-cell population
+    grows with density, so candidate pairs grow O(n²/cells) (too fine at
+    low density degrades to the brute-force fallback instead: everyone
+    fails the exactness guarantee). Adapting keeps candidate volume
+    O(n·k) from 10³ to 10¹² points. One driver-side count() is the only
+    cost (metadata-fast on parquet/Iceberg)."""
+    import math
+
+    ring_cells = 3 * radius * radius + 3 * radius + 1
+    target_per_cell = max(4.0 * k, 16.0) / ring_cells
+    hex_area = 3.0 * (3.0 ** 0.5) / 2.0  # × e²
+    best, best_err = 7, None
+    for res in range(0, 16):
+        e = edge_deg_at(res)
+        cells = (lon_span * lat_span) / (hex_area * e * e)
+        per_cell = max(n_points, 1) / cells
+        err = abs(math.log(max(per_cell, 1e-12) / target_per_cell))
+        if best_err is None or err < best_err:
+            best, best_err = res, err
+    return best
+
+
+def edge_deg_at(res: int) -> float:
+    from ..functions.hexgrid import edge_deg
+
+    return edge_deg(res)
+
+
+def _ghost_wrap(right: DataFrame, margin_deg: float) -> DataFrame:
+    """Antimeridian ghosts: points within ``margin_deg`` of ±180 get a
+    duplicate shifted by ∓360 on an unwrapped lon axis, so a ring search
+    near the seam sees its cross-seam neighbors as ordinary candidates
+    (haversine is 360°-periodic in Δλ, so distances stay exact). Ghost
+    volume is O(margin/360 · n) — vanishing at fine (dense) resolutions."""
+    ghosts = right.filter(F.abs(F.col("r_lon")) >= 180.0 - margin_deg).withColumn(
+        "r_lon_cell",
+        F.when(F.col("r_lon") > 0, F.col("r_lon") - 360.0).otherwise(F.col("r_lon") + 360.0),
     )
-    left = pts.select(
+    return right.withColumn("r_lon_cell", F.col("r_lon")).unionByName(ghosts)
+
+
+def _ring_topk(left_pts: DataFrame, right_pts: DataFrame, k: int, res: int,
+               radius: int) -> DataFrame:
+    """Ring-bucketed top-k of ``right`` candidates per ``left`` point:
+    left ids explode their k-ring, right (with antimeridian ghosts) keys
+    by home cell; ghost+original duplicates collapse before ranking."""
+    e = edge_deg_at(res)
+    cell = hex_cell_at_res(res)
+    left = left_pts.select(
         F.col("id").alias("l_id"),
         F.col("lon").alias("l_lon"),
         F.col("lat").alias("l_lat"),
-        F.explode(kring_udf(radius)(F.col("cell"))).alias("cell"),
+        F.explode(kring_udf(radius)(cell(F.col("lon"), F.col("lat")))).alias("cell"),
     )
-    right = pts.select(
+    right = right_pts.select(
         F.col("id").alias("r_id"),
         F.col("lon").alias("r_lon"),
         F.col("lat").alias("r_lat"),
-        "cell",
+    )
+    right = _ghost_wrap(right, margin_deg=2.0 * e * (radius + 1)).withColumn(
+        "cell", cell(F.col("r_lon_cell"), F.col("r_lat"))
     )
     pairs = (
         left.join(right, "cell")
         .filter(F.col("l_id") != F.col("r_id"))
+        .groupBy("l_id", "l_lon", "l_lat", "r_id", "r_lon", "r_lat")
+        .agg(F.lit(1).alias("_one"))  # collapse ghost/original duplicates
         .withColumn("dist_km", haversine_udf("l_lon", "l_lat", "r_lon", "r_lat"))
     )
     w = Window.partitionBy("l_id").orderBy(F.col("dist_km").asc(), F.col("r_id").asc())
@@ -99,6 +135,26 @@ def knn_join(
         .filter(F.col("rank") <= k)
         .select(F.col("l_id").alias("id"), F.col("r_id").alias("neighbor_id"), "dist_km", "rank")
     )
+
+
+def knn_join(
+    items: DataFrame,
+    k: int = 3,
+    res: int | None = 4,
+    radius: int = 1,
+    id_col: str = "id",
+) -> DataFrame:
+    """Cell-bucketed approximate kNN. Returns (id, neighbor_id, dist_km,
+    rank). ``res`` picks the bucket size (res 4 hexes ≈ 35 km edge on the
+    compat grid); ``res=None`` adapts it to the measured point density
+    (:func:`choose_res`) — the scale-safe default. Cross-antimeridian
+    neighbors are found via ghost candidates (:func:`_ghost_wrap`)."""
+    if res is None:
+        res = choose_res(items.count(), k=k, radius=radius)
+    pts = items.filter(F.col("lon").isNotNull() & F.col("lat").isNotNull()).select(
+        F.col(id_col).alias("id"), "lon", "lat"
+    )
+    return _ring_topk(pts, pts, k=k, res=res, radius=radius)
 
 
 def knn_join_salted(
@@ -181,13 +237,13 @@ def knn_join_salted(
 def knn_join_exact(
     items: DataFrame,
     k: int = 3,
-    res: int = 4,
+    res: int | None = 4,
     radius: int = 1,
     id_col: str = "id",
 ) -> DataFrame:
-    """EXACT kNN at scale: ring-local pass, then a per-point distance
-    guarantee decides who is done; the (few) unsatisfied points get a
-    targeted broadcast brute-force pass.
+    """EXACT kNN at scale: ring-local pass + per-point distance guarantee,
+    ESCALATING ring radius for points not yet proven, brute force only for
+    the final remnant.
 
     Guarantee math (equirectangular hex grid, edge e degrees): any point
     in a cell at hex-distance ≥ radius+1 from p's cell lies at least
@@ -195,44 +251,74 @@ def knn_join_exact(
     (center spacing ≥ 1.5e per hex step, ±e circumradius each side).
     A neighbor at d km can be at most ``d / (111.32·cos(|lat|+D_deg))``
     degrees away, so a point is *proven complete* when it has ≥ k ring
-    candidates and its k-th distance satisfies that bound. Everyone else —
-    typically isolated points, a vanishing fraction of a web-scale corpus —
-    is re-solved exactly: broadcast(unsatisfied) × all points.
+    candidates and its k-th distance satisfies that bound.
+
+    Scale shape: a single fixed-radius pass leaves a density-independent
+    fraction unproven (high-latitude points pay a worst-case cos() factor),
+    and brute-forcing those is O(f·n²). Instead unproven points re-run the
+    ring pass with doubled radius — the guarantee bound grows linearly with
+    radius while each point's k-th distance is fixed, so survivors halve
+    away geometrically; after ``max_escalations`` only pole-adjacent points
+    (where the lon metric degenerates; the antimeridian seam is handled
+    exactly by ghost candidates in :func:`_ring_topk`) and true isolates
+    remain for the broadcast brute-force pass — a vanishing set.
     """
     from ..functions.hexgrid import edge_deg
+
+    max_escalations = 4
+    # pair budget for the broadcast brute-force remnant: ~2e7 haversine
+    # lanes is ~1-2s of vectorized Arrow work on 32 cores — below that,
+    # another ring round costs more than it saves (an optimizer-style
+    # cost-model choice; the answer is exact on every path)
+    brute_budget = 20_000_000
 
     pts = items.filter(F.col("lon").isNotNull() & F.col("lat").isNotNull()).select(
         F.col(id_col).alias("id"), "lon", "lat"
     )
-    ring = knn_join(pts, k=k, res=res, radius=radius, id_col="id")
+    n_total = pts.count()
+    if res is None:
+        res = choose_res(n_total, k=k, radius=radius)
 
-    e = edge_deg(res)
-    d_deg_safe = max(1.5 * e * (radius + 1) - 2.0 * e, e * radius * (3.0 ** 0.5) / 2.0)
+    done_parts = []
+    remaining = pts
+    radius_i = radius
+    prev_cnt = n_total
+    for _ in range(0 if n_total * n_total <= brute_budget else max_escalations):
+        ring = _ring_topk(remaining, pts, k=k, res=res, radius=radius_i)
+        e = edge_deg(res)
+        d_deg_safe = max(
+            1.5 * e * (radius_i + 1) - 2.0 * e, e * radius_i * (3.0 ** 0.5) / 2.0
+        )
+        per_point = ring.groupBy("id").agg(
+            F.count(F.lit(1)).alias("n_found"), F.max("dist_km").alias("kth_km")
+        )
+        stats = remaining.join(per_point, "id", "left")
+        lat_margin = F.least(F.abs(F.col("lat")) + F.lit(d_deg_safe), F.lit(89.0))
+        required_deg = F.col("kth_km") / (F.lit(111.32) * F.cos(F.radians(lat_margin)))
+        near_pole = F.abs(F.col("lat")) >= F.lit(90.0 - 2.0 * e * (radius_i + 1))
+        satisfied = (F.col("n_found") >= k) & (required_deg <= F.lit(d_deg_safe)) & ~near_pole
+        unsat = stats.filter(~F.coalesce(satisfied, F.lit(False))).select(
+            "id", "lon", "lat"
+        ).localCheckpoint()  # cut the growing lineage per escalation
+        done_parts.append(ring.join(unsat.select("id"), "id", "left_anti"))
+        remaining = unsat
+        cnt = remaining.count()
+        if cnt == 0:
+            break
+        if cnt * n_total <= brute_budget:
+            break  # remnant is brute-cheap
+        if cnt > 0.75 * prev_cnt:
+            break  # not converging (pole caps / genuinely sparse data)
+        prev_cnt = cnt
+        radius_i *= 2
 
-    per_point = ring.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_found"), F.max("dist_km").alias("kth_km")
+    # brute-force remnant: broadcast the (tiny) unproven side
+    l = remaining.select(
+        F.col("id").alias("l_id"), F.col("lon").alias("l_lon"), F.col("lat").alias("l_lat")
     )
-    stats = pts.join(per_point, "id", "left")
-    lat_margin = F.least(F.abs(F.col("lat")) + F.lit(d_deg_safe), F.lit(89.0))
-    required_deg = F.col("kth_km") / (F.lit(111.32) * F.cos(F.radians(lat_margin)))
-    # the guarantee treats lon as an unwrapped axis while haversine wraps at
-    # ±180: a point near the antimeridian (or a pole) may have a closer
-    # cross-seam neighbor its k-ring never saw — those points are never
-    # 'proven complete' and always take the exact pass. Seam margin =
-    # 2·e·(radius+1) degrees (ring extent + one cell of slack); at the poles
-    # the lon metric degenerates, same margin on |lat|.
-    seam_margin = 2.0 * e * (radius + 1)
-    near_seam = (F.abs(F.col("lon")) >= F.lit(180.0 - seam_margin)) | (
-        F.abs(F.col("lat")) >= F.lit(90.0 - seam_margin)
+    r = pts.select(
+        F.col("id").alias("r_id"), F.col("lon").alias("r_lon"), F.col("lat").alias("r_lat")
     )
-    satisfied = (F.col("n_found") >= k) & (required_deg <= F.lit(d_deg_safe)) & ~near_seam
-    unsat = stats.filter(~F.coalesce(satisfied, F.lit(False))).select("id", "lon", "lat")
-
-    done = ring.join(unsat.select("id"), "id", "left_anti")
-
-    # targeted exact pass: broadcast the (small) unsatisfied side
-    l = unsat.select(F.col("id").alias("l_id"), F.col("lon").alias("l_lon"), F.col("lat").alias("l_lat"))
-    r = pts.select(F.col("id").alias("r_id"), F.col("lon").alias("r_lon"), F.col("lat").alias("r_lat"))
     pairs = (
         r.join(F.broadcast(l))
         .filter(F.col("l_id") != F.col("r_id"))
@@ -244,7 +330,10 @@ def knn_join_exact(
         .filter(F.col("rank") <= k)
         .select(F.col("l_id").alias("id"), F.col("r_id").alias("neighbor_id"), "dist_km", "rank")
     )
-    return done.unionByName(redo)
+    out = redo
+    for part in done_parts:
+        out = out.unionByName(part)
+    return out
 
 
 def knn_bruteforce(items: DataFrame, k: int = 3, id_col: str = "id") -> DataFrame:
