@@ -119,16 +119,22 @@ def _ring_topk(left_pts: DataFrame, right_pts: DataFrame, k: int, res: int,
         F.col("lon").alias("r_lon"),
         F.col("lat").alias("r_lat"),
     )
-    right = _ghost_wrap(right, margin_deg=2.0 * e * (radius + 1)).withColumn(
+    margin = 2.0 * e * (radius + 1)
+    right = _ghost_wrap(right, margin_deg=margin).withColumn(
         "cell", cell(F.col("r_lon_cell"), F.col("r_lat"))
     )
-    pairs = (
-        left.join(right, "cell")
-        .filter(F.col("l_id") != F.col("r_id"))
-        .groupBy("l_id", "l_lon", "l_lat", "r_id", "r_lon", "r_lat")
-        .agg(F.lit(1).alias("_one"))  # collapse ghost/original duplicates
-        .withColumn("dist_km", haversine_udf("l_lon", "l_lat", "r_lon", "r_lat"))
-    )
+    pairs = left.join(right, "cell").filter(F.col("l_id") != F.col("r_id"))
+    # a ghost AND its original can both land in one ring only when the
+    # ring's lon span approaches 360° − margin; below that the dedup
+    # groupBy (a second pair-grain shuffle — the most expensive grain in
+    # the query) is provably unnecessary and skipped
+    ring_lon_span = 4.0 * e * (radius + 1)
+    if ring_lon_span + margin >= 360.0:
+        pairs = (
+            pairs.groupBy("l_id", "l_lon", "l_lat", "r_id", "r_lon", "r_lat")
+            .agg(F.lit(1).alias("_one"))
+        )
+    pairs = pairs.withColumn("dist_km", haversine_udf("l_lon", "l_lat", "r_lon", "r_lat"))
     w = Window.partitionBy("l_id").orderBy(F.col("dist_km").asc(), F.col("r_id").asc())
     return (
         pairs.withColumn("rank", F.row_number().over(w))
