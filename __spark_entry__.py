@@ -611,6 +611,64 @@ def _approx_distinct_check(spark, sf_dir):
     )
 
 
+def _pii_redact(spark, sf_dir):
+    """PII scrub over deterministically-planted PII (the synthetic corpus
+    has none): regexp_replace/regexp_count chain, pure codegen. Patterns
+    are RE2-compatible so the DuckDB mirror uses them verbatim."""
+    from stac_populator_spark.operators.scrub import redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    plant = (
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" mail me at user"), F.col("doc_id").cast("string"), F.lit("@example.com now")),
+        )
+        .when(
+            F.col("doc_id") % 7 == 1,
+            F.concat(F.lit(" server 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".5 up")),
+        )
+        .when(F.col("doc_id") % 7 == 2, F.lit(" call +123-456-7890 ok"))
+        .otherwise(F.lit(""))
+    )
+    aug = d.withColumn("text", F.concat("text", plant))
+    out = redact_pii(aug)
+    return out.select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", F.md5("text_redacted").alias("redacted_md5")
+    )
+
+
+def _decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3-style n-gram overlap filter): docs
+    sharing any word 5-gram with the deterministic 'eval set'
+    (doc_id % 101 == 0) are routed out with hit counts."""
+    from stac_populator_spark.operators.scrub import decontaminate
+
+    d = _t(spark, sf_dir, "documents").filter(
+        F.size(F.split(F.trim("text"), r"\s+")) >= 5
+    )
+    eval_set = d.filter(F.col("doc_id") % 101 == 0)
+    corpus = d.filter(F.col("doc_id") % 101 != 0)
+    # plant contamination: docs with doc_id % 13 == 4 get an eval doc's
+    # full text appended (broadcast join on the deterministic eval key) —
+    # random 5-grams almost never collide, planted ones must be caught
+    ev = eval_set.select(F.col("doc_id").alias("e_id"), F.col("text").alias("e_text"))
+    aug = (
+        corpus.withColumn(
+            "e_id", F.when(F.col("doc_id") % 13 == 4, (F.col("doc_id") % 5) * 101)
+        )
+        .join(F.broadcast(ev), "e_id", "left")
+        .withColumn(
+            "text",
+            F.when(
+                F.col("e_text").isNotNull(), F.concat("text", F.lit(" "), "e_text")
+            ).otherwise(F.col("text")),
+        )
+        .drop("e_id", "e_text")
+    )
+    _, contaminated = decontaminate(aug, eval_set, n=5)
+    return contaminated.select("doc_id", "n_hits")
+
+
 def _segment_setops(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
@@ -1529,6 +1587,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantity_percentiles": _quantity_percentiles,
         "approx_quantiles_check": _approx_quantiles_check,
         "approx_distinct_check": _approx_distinct_check,
+        "pii_redact": _pii_redact,
+        "decontaminate": _decontaminate,
         "segment_setops": _segment_setops,
         "events_props_json": _events_props_json,
         "jaccard_pairs": _jaccard_pairs,
@@ -2101,6 +2161,58 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n,
                    TRUE AS within_bounds
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "pii_redact": r"""
+            WITH aug AS (
+              SELECT doc_id,
+                     text || CASE
+                       WHEN doc_id % 7 = 0 THEN ' mail me at user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                       WHEN doc_id % 7 = 1 THEN ' server 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.5 up'
+                       WHEN doc_id % 7 = 2 THEN ' call +123-456-7890 ok'
+                       ELSE '' END AS text
+              FROM documents
+            )
+            SELECT doc_id,
+                   LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                   LEN(REGEXP_EXTRACT_ALL(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+                   LEN(REGEXP_EXTRACT_ALL(text, '\+?\b\d{3}[-.]\d{3,4}[-.]\d{4}\b')) AS n_phone,
+                   MD5(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g'),
+                       '\+?\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
+            FROM aug
+        """,
+        "decontaminate": r"""
+            WITH base AS (
+              SELECT doc_id, text FROM documents
+              WHERE LEN(STRING_SPLIT(TRIM(text), ' ')) >= 5
+            ),
+            ev AS (SELECT doc_id AS e_id, text AS e_text FROM base WHERE doc_id % 101 = 0),
+            aug AS (
+              SELECT b.doc_id,
+                     CASE WHEN e.e_text IS NOT NULL THEN b.text || ' ' || e.e_text
+                          ELSE b.text END AS text
+              FROM base b
+              LEFT JOIN ev e
+                ON b.doc_id % 13 = 4 AND e.e_id = (b.doc_id % 5) * 101
+              WHERE b.doc_id % 101 <> 0
+            ),
+            grams AS (
+              SELECT doc_id, ARRAY_TO_STRING(ws[i:i+4], ' ') AS gram
+              FROM (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS ws,
+                           UNNEST(GENERATE_SERIES(1, LEN(STRING_SPLIT(TRIM(text), ' ')) - 4)) AS i
+                    FROM aug)
+            ),
+            eval_grams AS (
+              SELECT DISTINCT ARRAY_TO_STRING(ws[i:i+4], ' ') AS gram
+              FROM (SELECT STRING_SPLIT(TRIM(text), ' ') AS ws,
+                           UNNEST(GENERATE_SERIES(1, LEN(STRING_SPLIT(TRIM(text), ' ')) - 4)) AS i
+                    FROM base WHERE doc_id % 101 = 0)
+            ),
+            corpus_grams AS (SELECT DISTINCT doc_id, gram FROM grams)
+            SELECT c.doc_id, COUNT(*) AS n_hits
+            FROM corpus_grams c JOIN eval_grams e USING (gram)
+            GROUP BY c.doc_id
         """,
         "approx_distinct_check": """
             SELECT o_orderpriority,

@@ -1,0 +1,101 @@
+"""Corpus scrubbing stages for training-data pipelines: PII redaction and
+benchmark decontamination.
+
+Both are standard stages of public web-text pipelines (the GPT-3 paper's
+13-gram eval-overlap filter, Appendix A; C4's regex scrubbing) re-expressed
+Spark-first:
+
+- **PII redaction** is a pure column-expression regexp_replace chain —
+  whole-stage codegen, zero Python, linear scan. Patterns are
+  deliberately RE2-compatible so the DuckDB oracle mirrors them verbatim.
+- **Decontamination** is an n-gram-hash semi-join: the eval/benchmark side
+  (small by construction) is exploded to distinct shingle hashes and
+  broadcast; the training corpus explodes its shingles once and
+  left-semi-joins — contaminated doc ids come back without shuffling the
+  corpus (broadcast hash join), the aggregation is the only exchange.
+
+Reference tie-in: the dead-letter/validity framing follows the same
+route-don't-drop contract as operators/validate.py (reference
+populators.py:268-274 failure isolation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# RE2-safe patterns (no backrefs/lookarounds): identical strings work in
+# Spark (Java regex) and DuckDB (RE2) — the oracle mirrors them verbatim
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    # \+?\b (not \b\+?): there is no word boundary between ' ' and '+', so
+    # \b-first silently drops the leading '+' from the match
+    "phone": r"\+?\b\d{3}[-.]\d{3,4}[-.]\d{4}\b",
+}
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               out_col: str = "text_redacted") -> DataFrame:
+    """Replace each PII class with ``<CLASS>`` and count matches per class
+    (``n_<class>`` columns, via regexp_count — stays in codegen; DuckDB
+    mirror: LEN(REGEXP_EXTRACT_ALL(...)))."""
+    out = df
+    redacted = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        token = f"<{name.upper()}>"
+        out = out.withColumn(f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)))
+        redacted = F.regexp_replace(redacted, pat, token)
+    return out.withColumn(out_col, redacted)
+
+
+def ngram_hashes(text_col, n: int = 5) -> F.Column:
+    """Distinct xxhash64 hashes of word n-grams (the decontamination
+    fingerprint unit; the GPT-3 filter used 13-grams — pick ``n`` to the
+    corpus' typical document length)."""
+    words = F.split(F.trim(text_col), r"\s+")
+    # positions 1..m-n+1 → sequence 0..m-n inclusive (m-n+1 grams)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, n))),
+    )
+    return F.array_distinct(
+        F.when(F.size(words) >= n, grams).otherwise(
+            F.array(F.xxhash64(F.concat_ws(" ", words)))
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> tuple[DataFrame, DataFrame]:
+    """(clean, contaminated): training docs sharing ANY word n-gram with
+    the eval/benchmark set are routed out (never silently dropped —
+    contaminated carries ``n_hits``).
+
+    Scale shape: the eval side is small by construction (benchmarks are
+    thousands of documents, the corpus is 10^12) → its distinct shingle
+    hashes broadcast; the corpus side explodes shingles ONCE, inner-joins
+    the broadcast table, and aggregates hit counts per doc — the only
+    exchange is the per-doc hit aggregation, and it carries only
+    (id, hash) pairs that actually matched.
+    """
+    eval_hashes = (
+        eval_set.select(F.explode(ngram_hashes(F.col(text_col), n)).alias("h"))
+        .distinct()
+    )
+    corpus_shingled = corpus.select(
+        F.col(id_col), F.explode(ngram_hashes(F.col(text_col), n)).alias("h")
+    )
+    hits = (
+        corpus_shingled.join(F.broadcast(eval_hashes), "h")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    contaminated = corpus.join(hits, id_col)
+    clean = corpus.join(hits.select(id_col), id_col, "left_anti")
+    return clean, contaminated

@@ -1,0 +1,69 @@
+"""PII redaction + benchmark decontamination (operators/scrub.py)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from stac_populator_spark.operators.scrub import decontaminate, redact_pii
+
+
+def test_redact_pii_classes_and_counts(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "write to alice@example.org or bob.smith@corp.io today",
+                    "host 192.168.1.77 then call +123-456-7890 now",
+                    "nothing sensitive here",
+                ],
+            }
+        )
+    )
+    rows = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert rows[1]["n_email"] == 2 and rows[1]["n_ipv4"] == 0
+    assert rows[1]["text_redacted"] == "write to <EMAIL> or <EMAIL> today"
+    assert rows[2]["n_ipv4"] == 1 and rows[2]["n_phone"] == 1
+    assert rows[2]["text_redacted"] == "host <IPV4> then call <PHONE> now"
+    assert rows[3]["text_redacted"] == "nothing sensitive here"
+    assert rows[3]["n_email"] == rows[3]["n_ipv4"] == rows[3]["n_phone"] == 0
+
+
+def test_decontaminate_routes_overlapping_docs(spark):
+    eval_set = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [100], "text": ["the quick brown fox jumps over lazy dogs"]})
+    )
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "totally unrelated words about spark and shuffles here",
+                    "prefix words then the quick brown fox jumps over lazy dogs suffix",
+                    "quick brown fox alone is only a 3-gram not a 5-gram match",
+                ],
+            }
+        )
+    )
+    clean, cont = decontaminate(corpus, eval_set, n=5)
+    cont_rows = {r["doc_id"]: r["n_hits"] for r in cont.collect()}
+    assert set(cont_rows) == {2}
+    assert cont_rows[2] >= 4  # the embedded eval doc contributes its grams
+    assert sorted(r["doc_id"] for r in clean.collect()) == [1, 3]
+
+
+def test_decontaminate_corpus_side_broadcast(spark):
+    # the eval side must broadcast: the corpus never shuffles for the
+    # join, only the per-doc hit aggregation exchanges (and only matched
+    # (id, hash) pairs ride it)
+    import contextlib
+    import io
+
+    eval_set = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["a b c d e f"]}))
+    corpus = spark.createDataFrame(pd.DataFrame({"doc_id": [2], "text": ["a b c d e g"]}))
+    _, cont = decontaminate(corpus, eval_set)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        cont.explain()
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
