@@ -57,16 +57,20 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     variants re-hash that single long — n× cheaper than re-hashing the
     string per seed, with the same min-wise independence.
 
-    Shuffle profile: explode is narrow; the groupBy's 64 mins all combine
-    map-side, so the exchange carries one 64-long row per document.
+    Shuffle profile: ZERO. The whole signature is higher-order array
+    expressions (transform → array_min) inside one codegen projection —
+    no explode, no groupBy, no exchange. (The previous formulation
+    exploded shingles and aggregated 64 mins per doc: the same arithmetic
+    plus a full shuffle of per-doc partials; values are bit-identical,
+    pinned by tests/test_plans.py::test_minhash_signatures_zero_exchange.)
     """
-    sh = df.select(F.col(id_col), F.explode(shingles_col(text_col)).alias("sh")).select(
-        id_col, F.xxhash64("sh").alias("h")
-    )
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"mh{i}") for i in range(n_hashes)
+    hs = F.transform(shingles_col(text_col), lambda s: F.xxhash64(s))
+    out = df.select(F.col(id_col), hs.alias("_hs"))
+    sig_cols = [
+        F.array_min(F.transform(F.col("_hs"), lambda h: F.xxhash64(F.lit(i), h))).alias(f"mh{i}")
+        for i in range(n_hashes)
     ]
-    return sh.groupBy(id_col).agg(*aggs)
+    return out.select(id_col, *sig_cols)
 
 
 def minhash_candidates(sigs: DataFrame, id_col: str = "doc_id",

@@ -82,14 +82,17 @@ def test_collection_agg_partial_aggregation(spark, pages_path):
     assert plan.count(" Exchange (") == 1
 
 
-def test_minhash_group_is_partial(spark):
+def test_minhash_signatures_zero_exchange(spark):
+    # signatures are pure higher-order array expressions in one codegen
+    # projection: no explode, no groupBy, no exchange at all
     import pandas as pd
 
     from stac_populator_spark.operators.dedup import minhash_signatures
 
     docs = spark.createDataFrame(pd.DataFrame({"doc_id": [1, 2], "text": ["a b c d", "b c d e"]}))
     plan = plan_of(minhash_signatures(docs))
-    assert plan.count("HashAggregate") >= 2  # partial min() before shuffle
+    assert " Exchange (" not in plan
+    assert "Generate" not in plan  # no explode
 
 
 def test_pip_join_left_stays_broadcast_no_fact_shuffle(spark, pages_path):
