@@ -189,23 +189,29 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
 def simhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       bits: int = 64) -> DataFrame:
     """(id, simhash): per-bit majority over token hashes, assembled into a
-    64-bit bigint. Token explode → 64 conditional sums (all map-side)."""
-    toks = df.select(
-        F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
-    aggs = [
-        F.sum(
-            F.when((F.shiftrightunsigned(F.col("h"), i).bitwiseAND(F.lit(1))) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
-        for i in range(bits)
-    ]
-    sums = toks.groupBy(id_col).agg(*aggs)
+    64-bit bigint — entirely higher-order array expressions (ZERO
+    exchange: no explode, no groupBy; same values as the former
+    explode+sum formulation since sum(±1) > 0 ⟺ 2·count(bit=1) > n)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    out = df.select(
+        F.col(id_col),
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("_hs"),
+        F.size(toks).alias("_n"),
+    )
     sig = F.lit(0).cast("long")
     for i in range(bits):
-        sig = sig.bitwiseOR(
-            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        cnt = F.aggregate(
+            F.col("_hs"),
+            F.lit(0),
+            lambda acc, h: acc
+            + F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)).cast("int"),
         )
-    return sums.select(F.col(id_col), sig.alias("simhash"))
+        sig = sig.bitwiseOR(
+            F.when(2 * cnt > F.col("_n"), F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return out.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_signature_md5(df: DataFrame, text_col: str = "text",
@@ -216,35 +222,38 @@ def simhash_signature_md5(df: DataFrame, text_col: str = "text",
     Same per-bit ±1 majority and 64-bit assembly as
     :func:`simhash_signature`; used by the driver oracle, where DuckDB
     mirrors the exact same arithmetic."""
-    toks = df.select(
-        F.col(id_col), F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
-    ).withColumn("hx", F.md5(F.col("tok").cast("binary")))
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
     # four 16-bit chunks parsed once per token (conv beats 16 per-digit
     # instr lookups); bit i lives in chunk i//16 at position
-    # (3 − (i//4)%4)·4 + (3 − i%4) — hex digit order is big-endian
+    # (3 − (i//4)%4)·4 + (3 − i%4) — hex digit order is big-endian.
+    # Zero-exchange: the chunk arrays and the 64 per-bit counts are all
+    # higher-order array expressions of one projection.
+    hx = F.transform(toks, lambda t: F.md5(t.cast("binary")))
+    out = df.select(F.col(id_col), F.size(toks).alias("_n"), hx.alias("_hx"))
     for c in range(4):
-        toks = toks.withColumn(
-            f"c{c}",
-            F.conv(F.substring("hx", 4 * c + 1, 4), 16, 10).cast("int"),
+        out = out.withColumn(
+            f"_c{c}",
+            F.transform(
+                F.col("_hx"),
+                lambda h: F.conv(F.substring(h, 4 * c + 1, 4), 16, 10).cast("int"),
+            ),
         )
 
-    def _bit(i: int) -> F.Column:
-        shift = (3 - (i // 4) % 4) * 4 + (3 - i % 4)
-        return F.shiftrightunsigned(F.col(f"c{i // 16}"), shift).bitwiseAND(F.lit(1))
-
-    aggs = [
-        F.sum(F.when(_bit(i) == 1, 1).otherwise(-1)).alias(f"b{i}")
-        for i in range(64)
-    ]
-    sums = toks.groupBy(id_col).agg(*aggs)
     sig = F.lit(0).cast("long")
     for i in range(64):
+        shift = (3 - (i // 4) % 4) * 4 + (3 - i % 4)
+        cnt = F.aggregate(
+            F.col(f"_c{i // 16}"),
+            F.lit(0),
+            lambda acc, ch: acc
+            + F.shiftrightunsigned(ch, shift).bitwiseAND(F.lit(1)).cast("int"),
+        )
         sig = sig.bitwiseOR(
-            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+            F.when(2 * cnt > F.col("_n"), F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
                 F.lit(0).cast("long")
             )
         )
-    return sums.select(F.col(id_col), sig.alias("simhash"))
+    return out.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_candidates(sigs: DataFrame, id_col: str = "doc_id",
