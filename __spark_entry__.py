@@ -378,6 +378,45 @@ def _ann_cosine(spark, sf_dir):
     return cosine_topk(emb, queries, k=5)
 
 
+def _pq_cosine(spark, sf_dir):
+    """Product-quantization ANN (code-only asymmetric-distance scan →
+    shortlist → exact rerank) gated by recall against the exact top-k
+    computed in the same job: the oracle emits the exact per-query top-k
+    cosine mass + literal TRUE, so any recall drop below the bound flips
+    recall_ok and breaks the value hash — the same error-bound-as-gate
+    pattern as approx_quantiles_check."""
+    from stac_populator_spark.operators.similarity import cosine_topk, pq_topk, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # m=8 × ksub=256 → 64-bit codes. Shortlist scales with the corpus
+    # (≥5%): recall@5 = 1.0 at sf0.1 and ≥0.8 for every query at the
+    # 10×-sf1 probe (tools/gen_sf1 data). At real scale PQ composes with
+    # IVF partition pruning (IVF-PQ) so the 5% applies per probed list,
+    # not to the full corpus.
+    books = pq_train(emb, m=8, ksub=256)
+    approx = pq_topk(emb, queries, books, k=5, shortlist=max(200, emb.count() // 20))
+    exact = cosine_topk(emb, queries, k=5)
+    overlap = (
+        approx.select("query_id", "vec_id")
+        .join(exact.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    per_q = exact.groupBy("query_id").agg(
+        F.round(F.sum("cos"), 4).alias("exact_cos_mass"), F.count(F.lit(1)).alias("k")
+    )
+    return per_q.join(overlap, "query_id", "left").select(
+        "query_id",
+        "exact_cos_mass",
+        (F.coalesce(F.col("n_hit"), F.lit(0)) >= 4).alias("recall_ok"),  # ≥0.8 recall@5
+    )
+
+
 def _top_terms(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     terms = d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
@@ -1576,6 +1615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "summaries_typed": _summaries_typed,
         "lang_skew_counts": _lang_skew_counts,
         "ann_cosine": _ann_cosine,
+        "pq_cosine": _pq_cosine,
         "top_terms": _top_terms,
         "sessionize": _sessionize,
         "running_total": _running_total,
@@ -2280,6 +2320,26 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
               FROM scored
             ) WHERE rank <= 5
+        """,
+        "pq_cosine": """
+            WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id % 100 = 0),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     LIST_DOT_PRODUCT(q.qv, e.v)
+                       / (SQRT(LIST_DOT_PRODUCT(q.qv, q.qv)) * SQRT(LIST_DOT_PRODUCT(e.v, e.v))) AS cos
+              FROM emb e CROSS JOIN q
+            ),
+            topk AS (
+              SELECT query_id, cos FROM (
+                SELECT query_id, cos, ROW_NUMBER() OVER (
+                  PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+                FROM scored
+              ) WHERE rank <= 5
+            )
+            SELECT query_id, ROUND(SUM(ROUND(cos, 6)), 4) AS exact_cos_mass,
+                   TRUE AS recall_ok
+            FROM topk GROUP BY query_id
         """,
         "ivf_cosine": """
             WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -36,9 +36,13 @@ ORACLE_FEASIBLE = [
     "train_val_split",
     "training_prep",
     "stac_collections",
+    "stac_schema_split",
+    "pii_redact",
+    "decontaminate",
     "knn_exact_docs",
     "ann_cosine",
     "ivf_cosine",
+    "pq_cosine",
 ]
 CONSISTENCY_ONLY = [
     "minhash_neardup",
