@@ -506,3 +506,86 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, F.round("cos", 6).alias("cos"), "rank")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    centroids: np.ndarray,
+    k: int = 5,
+    n_probe: int = 4,
+    shortlist: int = 200,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ (the FAISS pairing of the two indexes): IVF decides WHICH
+    rows are scanned (each query probes its ``n_probe`` nearest centroid
+    lists — with ``ivf_write_partitioned`` layout that is partition
+    pruning), PQ decides WHAT is scanned (4-8 byte codes + a per-query
+    lookup table instead of the raw vectors), and the exact cosine rerank
+    touches only the per-query shortlist. At 10^12 rows the scan cost is
+    (n_probe/k_centroids) × (code_bytes/vector_bytes) of brute force —
+    two multiplicative reductions — while the recall gate stays the same
+    shape as :func:`pq_topk`'s.
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    m, ksub, dsub = codebooks.shape
+    qpdf = queries.select(F.col(query_id_col), F.col(vec_col)).toPandas()
+    luts = {}
+    for _, row in qpdf.iterrows():
+        qv = np.asarray(row[vec_col], dtype=np.float64)
+        qv = qv / max(np.linalg.norm(qv), 1e-12)
+        luts[row[query_id_col]] = np.stack(
+            [qv[j * dsub : (j + 1) * dsub] @ codebooks[j].T for j in range(m)]
+        )
+
+    @pandas_udf(T.DoubleType())
+    def approx_ip(code: pd.Series, qid: pd.Series) -> pd.Series:
+        codes = np.stack(code.map(np.asarray))
+        out = np.empty(len(codes))
+        for q, idx in qid.groupby(qid).groups.items():
+            ii = np.asarray(idx)
+            out[ii] = luts[q][np.arange(m)[None, :], codes[ii]].sum(axis=1)
+        return pd.Series(out)
+
+    # IVF side: corpus rows keyed by their list; queries explode probes
+    enc = pq_encode(
+        ivf_assign(corpus.select(id_col, vec_col), vec_col, centroids=centroids),
+        codebooks,
+        vec_col,
+    ).select(id_col, "ivf_cluster", "pq_code")
+    q_probe = queries.select(
+        F.col(query_id_col),
+        F.explode(_assign_udf(centroids, top_n=n_probe)(F.col(vec_col))).alias(
+            "ivf_cluster"
+        ),
+    )
+    scored = enc.join(F.broadcast(q_probe), "ivf_cluster").withColumn(
+        "approx_ip", approx_ip(F.col("pq_code"), F.col(query_id_col))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx_ip").desc(), F.col(id_col).asc()
+    )
+    short = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= shortlist)
+        .select(query_id_col, id_col)
+    )
+    cand = (
+        short.join(corpus.select(id_col, F.col(vec_col).alias("c_vec")), id_col)
+        .join(
+            F.broadcast(queries.select(query_id_col, F.col(vec_col).alias("q_vec"))),
+            query_id_col,
+        )
+        .withColumn("cos", cosine_expr(F.col("q_vec"), F.col("c_vec")))
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.round("cos", 6).alias("cos"), "rank")
+    )
