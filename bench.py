@@ -58,6 +58,10 @@ def main():
         "stac_flagship",
         "knn_exact_docs",
         "stac_valid_split",
+        "stac_schema_split",
+        "pii_redact",
+        "decontaminate",
+        "pq_cosine",
         "stac_collections",
         "q9_profit_by_nation",
         "training_prep",
