@@ -391,12 +391,16 @@ def pq_train(
     for j in range(m):
         S = X[:, j * dsub : (j + 1) * dsub]
         cents = [S[rng.integers(len(S))]]
+        # k-means++ with an incrementally-maintained min-distance array:
+        # O(ksub·n) instead of recomputing all pairs per new centroid
+        # (O(ksub²·n) — dominated pq_train at ksub=256); identical values
+        # and rng draw order, so codebooks are bit-identical
+        d2min = ((S - cents[0]) ** 2).sum(axis=1)
         for _ in range(1, ksub):
-            d2 = np.min(
-                np.stack([((S - c) ** 2).sum(axis=1) for c in cents]), axis=0
-            )
-            p = d2 / d2.sum() if d2.sum() > 0 else None
-            cents.append(S[rng.choice(len(S), p=p)])
+            p = d2min / d2min.sum() if d2min.sum() > 0 else None
+            nxt = S[rng.choice(len(S), p=p)]
+            cents.append(nxt)
+            d2min = np.minimum(d2min, ((S - nxt) ** 2).sum(axis=1))
         C = np.stack(cents)
         for _ in range(iters):
             d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
