@@ -1,12 +1,19 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` + typed
 metadata, processed via Arrow-batched ``mapInPandas``.
 
-The decode step is STUBBED (this container has no PIL/ffmpeg — see the
-driver brief): ``decode_image``/``decode_audio`` raise NotImplementedError
-unless ``fake=True``, in which case a deterministic fake decoder derives
-"pixels"/"samples" from the payload bytes — so the Spark-side plumbing
-(schema, partitioning, UDF signature, Arrow batch shape) is real and
-tested end-to-end, and a real decoder drops in behind the same signature.
+Decode support is tiered:
+
+- **Real decoders, pure numpy/struct** (no external libs needed): WAV
+  PCM 8/16-bit (RIFF chunk walk), PPM P6 (netpbm), BMP 24-bit BI_RGB —
+  the uncompressed formats. These parse the actual byte layouts and are
+  round-trip-tested against the matching encoders below.
+- **Stubs with a clear seam**: compressed codecs (JPEG/PNG/ffmpeg
+  containers) need PIL/opencv/soundfile, which this container lacks;
+  unknown magics raise NotImplementedError unless ``fake=True`` (the
+  deterministic byte-derived fake keeps the Spark-side plumbing —
+  schema, partitioning, UDF signature, Arrow batch shape — real and
+  tested end-to-end, and a real codec drops in behind the same
+  signature).
 
 Column model:
     media(url STRING, kind STRING, payload BINARY,
@@ -14,6 +21,8 @@ Column model:
 """
 
 from __future__ import annotations
+
+import struct
 
 import numpy as np
 import pandas as pd
@@ -58,22 +67,136 @@ def _fake_decode(payload: bytes, n: int = 64) -> np.ndarray:
     return np.tile(b, reps)[:n]
 
 
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """PPM P6 → grayscale uint8 pixels (row-major). Minimal netpbm header
+    parse: magic, whitespace/comment-separated width/height/maxval."""
+    tokens, i, n = [], 2, len(payload)
+    while len(tokens) < 3 and i < n:
+        while i < n and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment to end of line
+            while i < n and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < n and not payload[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    rgb = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    gray = rgb.reshape(h, w, 3).astype(np.uint16).sum(axis=2) // 3
+    return gray.astype(np.uint8).ravel()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """BMP 24-bit uncompressed (BI_RGB) → grayscale uint8 pixels, rows
+    top-down. Parses BITMAPFILEHEADER + BITMAPINFOHEADER byte layout."""
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    w, h = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"only 24-bit BI_RGB BMP supported (bpp={bpp})")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = ((w * 3 + 3) // 4) * 4
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=data_off)
+    rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    gray = rows.astype(np.uint16).sum(axis=2) // 3  # BGR mean == RGB mean
+    return gray.astype(np.uint8).ravel()
+
+
+def decode_wav(payload: bytes) -> np.ndarray:
+    """RIFF/WAVE PCM (8-bit unsigned / 16-bit signed LE) → mono uint8
+    samples (channels averaged; 16-bit mapped to the uint8 range)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, n = 12, len(payload)
+    fmt = None
+    data = None
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        (csz,) = struct.unpack_from("<I", payload, i + 4)
+        body = payload[i + 8 : i + 8 + csz]
+        if cid == b"fmt ":
+            audio_fmt, channels, _rate = struct.unpack_from("<HHI", body, 0)
+            (bits,) = struct.unpack_from("<H", body, 14)
+            if audio_fmt != 1:
+                raise NotImplementedError(f"only PCM WAV supported (fmt={audio_fmt})")
+            fmt = (channels, bits)
+        elif cid == b"data":
+            data = body
+        i += 8 + csz + (csz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    channels, bits = fmt
+    if bits == 8:
+        x = np.frombuffer(data, dtype=np.uint8).astype(np.int32)
+        x = x[: (len(x) // channels) * channels].reshape(-1, channels).mean(axis=1)
+        return x.astype(np.uint8)
+    if bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.int32)
+        x = x[: (len(x) // channels) * channels].reshape(-1, channels).mean(axis=1)
+        return (((x.astype(np.int32)) + 32768) >> 8).astype(np.uint8)
+    raise NotImplementedError(f"{bits}-bit WAV not supported")
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
     if not fake:
         raise NotImplementedError(
-            "real image decode needs PIL/opencv (not in this container); "
+            "compressed image decode (JPEG/PNG) needs PIL/opencv (not in "
+            "this container); uncompressed PPM/BMP decode natively; "
             "pass fake=True for the deterministic stub"
         )
     return _fake_decode(payload, 64)
 
 
 def decode_audio(payload: bytes, fake: bool = False) -> np.ndarray:
+    if payload[:4] == b"RIFF":
+        return decode_wav(payload)
     if not fake:
         raise NotImplementedError(
-            "real audio decode needs soundfile/ffmpeg (not in this container); "
-            "pass fake=True for the deterministic stub"
+            "compressed audio decode needs soundfile/ffmpeg (not in this "
+            "container); PCM WAV decodes natively; pass fake=True for the "
+            "deterministic stub"
         )
     return _fake_decode(payload, 256)
+
+
+# deterministic encoders — fixture/datagen side of the round-trip tests
+def encode_ppm(gray: np.ndarray, w: int, h: int) -> bytes:
+    rgb = np.repeat(np.asarray(gray, dtype=np.uint8).reshape(h, w, 1), 3, axis=2)
+    return b"P6\n%d %d\n255\n" % (w, h) + rgb.tobytes()
+
+
+def encode_bmp(gray: np.ndarray, w: int, h: int) -> bytes:
+    stride = ((w * 3 + 3) // 4) * 4
+    g = np.asarray(gray, dtype=np.uint8).reshape(h, w)
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = np.repeat(g, 3, axis=1)
+    px = rows[::-1].tobytes()  # bottom-up
+    header = b"BM" + struct.pack("<IHHI", 54 + len(px), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px), 2835, 2835, 0, 0)
+    return header + info + px
+
+
+def encode_wav(samples_i16: np.ndarray, sample_rate: int = 16000,
+               channels: int = 1) -> bytes:
+    data = np.asarray(samples_i16, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * channels * 2, channels * 2, 16)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
 
 
 def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:

@@ -1,0 +1,80 @@
+"""Real multimodal decoders (pure numpy/struct — WAV PCM, PPM P6, BMP
+24-bit) round-trip against their encoders; compressed codecs remain
+explicit NotImplementedError seams (operators/multimodal.py)."""
+
+def test_wav_pcm_roundtrip():
+    import numpy as np
+
+    from stac_populator_spark.operators.multimodal import decode_audio, encode_wav
+
+    t = np.arange(400)
+    samples = (np.sin(t / 7.0) * 12000).astype(np.int16)
+    payload = encode_wav(samples, sample_rate=8000)
+    out = decode_audio(payload)  # real path, no fake flag
+    assert len(out) == 400
+    expected = ((samples.astype(np.int32) + 32768) >> 8).astype(np.uint8)
+    assert np.array_equal(out, expected)
+    # stereo: channels average
+    stereo = np.stack([samples, samples + 100]).T.ravel()
+    out2 = decode_audio(encode_wav(stereo, channels=2))
+    assert len(out2) == 400
+
+
+def test_ppm_and_bmp_roundtrip():
+    import numpy as np
+
+    from stac_populator_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(5)
+    gray = rng.integers(0, 256, size=(6, 10), dtype=np.uint8)  # h=6, w=10 (stride pad)
+    for enc in (encode_ppm, encode_bmp):
+        payload = enc(gray, 10, 6)
+        out = decode_image(payload)  # real path
+        assert np.array_equal(out, gray.ravel()), enc.__name__
+
+
+def test_compressed_formats_still_raise():
+    import pytest
+
+    from stac_populator_spark.operators.multimodal import decode_audio, decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x04....mp3ish")
+
+
+def test_feature_extraction_over_real_codecs(spark):
+    # end-to-end mapInPandas with REAL decoders (fake=False): WAV + PPM +
+    # BMP rows produce 16-dim features deterministically
+    import numpy as np
+    import pandas as pd
+
+    from stac_populator_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_bmp,
+        encode_ppm,
+        encode_wav,
+        extract_features,
+    )
+
+    gray = (np.arange(64, dtype=np.uint8) * 3).reshape(8, 8)
+    rows = [
+        ("u1", "image", bytearray(encode_ppm(gray, 8, 8)), (8, 8, None, None)),
+        ("u2", "image", bytearray(encode_bmp(gray, 8, 8)), (8, 8, None, None)),
+        ("u3", "audio", bytearray(encode_wav((np.arange(320) * 50).astype(np.int16))),
+         (None, None, 16000, None)),
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    got = {r["url"]: r for r in extract_features(media, fake=False).collect()}
+    assert len(got) == 3
+    # PPM and BMP of the same grayscale decode identically → same feature
+    assert got["u1"]["feature"] == got["u2"]["feature"]
+    assert len(got["u3"]["feature"]) == 16
+    # rerun is bit-identical (deterministic end-to-end)
+    again = {r["url"]: r for r in extract_features(media, fake=False).collect()}
+    assert again["u3"]["feature"] == got["u3"]["feature"]
