@@ -650,6 +650,34 @@ def _approx_distinct_check(spark, sf_dir):
     )
 
 
+def _domain_stats(spark, sf_dir):
+    """Registered-domain grouping over deterministically-derived urls
+    (hosts exercise userinfo/port/path stripping and two-level public
+    suffixes — news.example.co.uk → example.co.uk)."""
+    from stac_populator_spark.functions.urls import url_registered_domain
+
+    d = _t(spark, sf_dir, "documents")
+    host = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("news.Example.co.uk"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("a.example.com"))
+        .when(F.col("doc_id") % 5 == 2, F.lit("b.cdn.example.com"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("shop.acme.com.au"))
+        .otherwise(F.lit("x.mysite.org"))
+    )
+    url = F.concat(
+        F.lit("https://user@"), host, F.lit(":443/p/"), F.col("doc_id").cast("string"),
+        F.lit("?q=1"),
+    )
+    docs = d.select("doc_id", "n_chars", url.alias("url"))
+    return (
+        docs.groupBy(url_registered_domain(F.col("url")).alias("domain"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
 def _pii_redact(spark, sf_dir):
     """PII scrub over deterministically-planted PII (the synthetic corpus
     has none): regexp_replace/regexp_count chain, pure codegen. Patterns
@@ -1629,6 +1657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_check": _approx_distinct_check,
         "pii_redact": _pii_redact,
         "decontaminate": _decontaminate,
+        "domain_stats": _domain_stats,
         "segment_setops": _segment_setops,
         "events_props_json": _events_props_json,
         "jaccard_pairs": _jaccard_pairs,
@@ -2201,6 +2230,38 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n,
                    TRUE AS within_bounds
             FROM lineitem GROUP BY l_returnflag
+        """,
+        "domain_stats": r"""
+            WITH urls AS (
+              SELECT doc_id, n_chars,
+                     'https://user@' || CASE doc_id % 5
+                        WHEN 0 THEN 'news.Example.co.uk'
+                        WHEN 1 THEN 'a.example.com'
+                        WHEN 2 THEN 'b.cdn.example.com'
+                        WHEN 3 THEN 'shop.acme.com.au'
+                        ELSE 'x.mysite.org' END
+                     || ':443/p/' || CAST(doc_id AS VARCHAR) || '?q=1' AS url
+              FROM documents
+            ),
+            hosts AS (
+              SELECT doc_id, n_chars,
+                     LOWER(REGEXP_EXTRACT(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@]*@)?([^/:?#]+)', 1)) AS host
+              FROM urls
+            ),
+            doms AS (
+              SELECT doc_id, n_chars,
+                     CASE WHEN REGEXP_EXTRACT(host, '([^.]+\.[^.]+)$', 1) IN
+                               ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',
+                                'org.au','co.jp','or.jp','ne.jp','co.in','co.nz',
+                                'co.za','com.br','com.mx','com.cn','com.sg')
+                           AND LENGTH(REGEXP_EXTRACT(host, '([^.]+\.[^.]+\.[^.]+)$', 1)) > 0
+                          THEN REGEXP_EXTRACT(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
+                          ELSE REGEXP_EXTRACT(host, '([^.]+\.[^.]+)$', 1) END AS domain
+              FROM hosts
+            )
+            SELECT domain, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+            FROM doms GROUP BY domain
         """,
         "pii_redact": r"""
             WITH aug AS (
