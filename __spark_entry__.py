@@ -678,6 +678,30 @@ def _domain_stats(spark, sf_dir):
     )
 
 
+def _domain_budget(spark, sf_dir):
+    """Per-domain crawl/keep budget: cap each registered domain at its N
+    best documents (here: longest text, id tie-break) — the standard
+    anti-domination stage of a web corpus (one boilerplate-heavy domain
+    must not swamp training data). One window over the domain key."""
+    from stac_populator_spark.functions.urls import registered_domain
+
+    d = _t(spark, sf_dir, "documents")
+    host = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("news.example.co.uk"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("a.example.com"))
+        .when(F.col("doc_id") % 5 == 2, F.lit("b.cdn.example.com"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("shop.acme.com.au"))
+        .otherwise(F.lit("x.mysite.org"))
+    )
+    docs = d.select("doc_id", "n_chars", registered_domain(host).alias("domain"))
+    w = Window.partitionBy("domain").orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    return (
+        docs.withColumn("rank_in_domain", F.row_number().over(w))
+        .filter(F.col("rank_in_domain") <= 100)
+        .select("domain", "doc_id", "n_chars", "rank_in_domain")
+    )
+
+
 def _pii_redact(spark, sf_dir):
     """PII scrub over deterministically-planted PII (the synthetic corpus
     has none): regexp_replace/regexp_count chain, pure codegen. Patterns
@@ -1658,6 +1682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": _pii_redact,
         "decontaminate": _decontaminate,
         "domain_stats": _domain_stats,
+        "domain_budget": _domain_budget,
         "segment_setops": _segment_setops,
         "events_props_json": _events_props_json,
         "jaccard_pairs": _jaccard_pairs,
@@ -2262,6 +2287,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT domain, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
             FROM doms GROUP BY domain
+        """,
+        "domain_budget": r"""
+            WITH doms AS (
+              SELECT doc_id, n_chars,
+                     CASE doc_id % 5
+                        WHEN 0 THEN 'example.co.uk'
+                        WHEN 1 THEN 'example.com'
+                        WHEN 2 THEN 'example.com'
+                        WHEN 3 THEN 'acme.com.au'
+                        ELSE 'mysite.org' END AS domain
+              FROM documents
+            )
+            SELECT domain, doc_id, n_chars, rank_in_domain FROM (
+              SELECT domain, doc_id, n_chars, ROW_NUMBER() OVER (
+                PARTITION BY domain ORDER BY n_chars DESC, doc_id ASC) AS rank_in_domain
+              FROM doms
+            ) WHERE rank_in_domain <= 100
         """,
         "pii_redact": r"""
             WITH aug AS (
