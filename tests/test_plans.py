@@ -207,3 +207,29 @@ def test_session_scale_configs_pinned(spark):
     assert int(conf.get("spark.sql.autoBroadcastJoinThreshold")) >= 64 * 1024 * 1024
     assert int(conf.get("spark.sql.files.maxPartitionBytes")) <= 256 * 1024 * 1024
     assert conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_pii_redact_is_pure_projection(spark):
+    # the scrub stage must pipeline with the scan: regexp chain in one
+    # narrow projection, zero exchanges
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+
+    plan = plan_of(E.queries()["pii_redact"](spark, "/root/testdata/sf0.001"))
+    assert " Exchange (" not in plan
+    assert "BatchEvalPython" not in plan  # no row-Python anywhere
+
+
+def test_domain_budget_single_window_exchange(spark):
+    # per-domain cap: exactly one exchange (the window's domain-grain
+    # hashpartitioning), nothing else
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+
+    plan = plan_of(E.queries()["domain_budget"](spark, "/root/testdata/sf0.001"))
+    assert plan.count(" Exchange (") == 1
+    assert "Window" in plan

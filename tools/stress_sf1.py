@@ -39,6 +39,8 @@ ORACLE_FEASIBLE = [
     "stac_schema_split",
     "pii_redact",
     "decontaminate",
+    "domain_stats",
+    "domain_budget",
     "knn_exact_docs",
     "ann_cosine",
     "ivf_cosine",
