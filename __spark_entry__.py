@@ -1649,56 +1649,6 @@ def _training_prep(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "q1_pricing_summary": _q1_pricing_summary,
-        "q3_topk_revenue": _q3_topk_revenue,
-        "q5_nation_revenue": _q5_nation_revenue,
-        "top_customer_per_nation": _top_customer_per_nation,
-        "events_daily": _events_daily,
-        "orders_semi": _orders_semi,
-        "customers_no_orders": _customers_no_orders,
-        "doc_points_tiles": _doc_points_tiles,
-        "pip_points": _pip_points,
-        "tiles_footprints": _tiles_footprints,
-        "knn_docs_bruteforce": _knn_docs_bruteforce,
-        "collection_extent": _collection_extent,
-        "dedup_exact": _dedup_exact,
-        "token_stats": _token_stats,
-        "quality_by_source": _quality_by_source,
-        "summaries_typed": _summaries_typed,
-        "lang_skew_counts": _lang_skew_counts,
-        "ann_cosine": _ann_cosine,
-        "pq_cosine": _pq_cosine,
-        "top_terms": _top_terms,
-        "sessionize": _sessionize,
-        "running_total": _running_total,
-        "lineitem_rollup": _lineitem_rollup,
-        "dead_letter_split": _dead_letter_split,
-        "stac_schema_split": _stac_schema_split,
-        "events_pivot": _events_pivot,
-        "tile_pyramid": _tile_pyramid,
-        "quantity_percentiles": _quantity_percentiles,
-        "approx_quantiles_check": _approx_quantiles_check,
-        "approx_distinct_check": _approx_distinct_check,
-        "pii_redact": _pii_redact,
-        "decontaminate": _decontaminate,
-        "domain_stats": _domain_stats,
-        "domain_budget": _domain_budget,
-        "segment_setops": _segment_setops,
-        "events_props_json": _events_props_json,
-        "jaccard_pairs": _jaccard_pairs,
-        "ivf_cosine": _ivf_cosine,
-        "doc_fingerprints": _doc_fingerprints,
-        "stac_collections": _stac_collections,
-        "minhash_neardup": _minhash_neardup,
-        "simhash_pairs": _simhash_pairs,
-        "stac_flagship": _stac_flagship,
-        "knn_exact_docs": _knn_exact_docs,
-        "stac_valid_split": _stac_valid_split,
-        "stac_items_sql": _stac_items_sql,
-        "cosine_neardup": _cosine_neardup,
-        "q2_cheapest_supplier": _q2_cheapest_supplier,
-        "q7_nation_volume": _q7_nation_volume,
-        "events_lag_delta": _events_lag_delta,
         "events_cube": _events_cube,
         "q18_large_orders": _q18_large_orders,
         "q19_disjunctive_revenue": _q19_disjunctive_revenue,
@@ -1727,6 +1677,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_activity_full_outer": _daily_activity_full_outer,
         "events_grouping_sets": _events_grouping_sets,
         "clicks_asof_purchase": _clicks_asof_purchase,
+        "domain_stats": _domain_stats,
+        "stac_flagship": _stac_flagship,
+        "minhash_neardup": _minhash_neardup,
+        "simhash_pairs": _simhash_pairs,
+        "pq_cosine": _pq_cosine,
+        "cosine_neardup": _cosine_neardup,
+        "knn_exact_docs": _knn_exact_docs,
+        "stac_collections": _stac_collections,
+        "decontaminate": _decontaminate,
+        "pii_redact": _pii_redact,
+        "ivf_cosine": _ivf_cosine,
+        "stac_items_sql": _stac_items_sql,
+        "stac_valid_split": _stac_valid_split,
+        "collection_extent": _collection_extent,
+        "pip_points": _pip_points,
+        "sessionize": _sessionize,
+        "domain_budget": _domain_budget,
+        "jaccard_pairs": _jaccard_pairs,
+        "q1_pricing_summary": _q1_pricing_summary,
+        "q3_topk_revenue": _q3_topk_revenue,
+        "q5_nation_revenue": _q5_nation_revenue,
+        "top_customer_per_nation": _top_customer_per_nation,
+        "events_daily": _events_daily,
+        "orders_semi": _orders_semi,
+        "customers_no_orders": _customers_no_orders,
+        "doc_points_tiles": _doc_points_tiles,
+        "tiles_footprints": _tiles_footprints,
+        "knn_docs_bruteforce": _knn_docs_bruteforce,
+        "dedup_exact": _dedup_exact,
+        "token_stats": _token_stats,
+        "quality_by_source": _quality_by_source,
+        "summaries_typed": _summaries_typed,
+        "lang_skew_counts": _lang_skew_counts,
+        "ann_cosine": _ann_cosine,
+        "top_terms": _top_terms,
+        "running_total": _running_total,
+        "lineitem_rollup": _lineitem_rollup,
+        "dead_letter_split": _dead_letter_split,
+        "stac_schema_split": _stac_schema_split,
+        "events_pivot": _events_pivot,
+        "tile_pyramid": _tile_pyramid,
+        "quantity_percentiles": _quantity_percentiles,
+        "approx_quantiles_check": _approx_quantiles_check,
+        "approx_distinct_check": _approx_distinct_check,
+        "segment_setops": _segment_setops,
+        "events_props_json": _events_props_json,
+        "doc_fingerprints": _doc_fingerprints,
+        "q2_cheapest_supplier": _q2_cheapest_supplier,
+        "q7_nation_volume": _q7_nation_volume,
+        "events_lag_delta": _events_lag_delta,
     }
 
 
@@ -2285,7 +2285,7 @@ def oracle_sql() -> dict[str, str]:
                           ELSE REGEXP_EXTRACT(host, '([^.]+\.[^.]+)$', 1) END AS domain
               FROM hosts
             )
-            SELECT domain, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+            SELECT domain, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
             FROM doms GROUP BY domain
         """,
         "domain_budget": r"""
@@ -2315,15 +2315,25 @@ def oracle_sql() -> dict[str, str]:
                        ELSE '' END AS text
               FROM documents
             )
+            , steps AS (
+              -- counts run against the PROGRESSIVELY-redacted text (the same
+              -- value each class' replace sees), mirroring redact_pii
+              SELECT doc_id, text AS t0,
+                     REGEXP_REPLACE(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+              FROM aug
+            ), steps2 AS (
+              SELECT *, REGEXP_REPLACE(t1,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g') AS t2
+              FROM steps
+            )
             SELECT doc_id,
-                   LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
-                   LEN(REGEXP_EXTRACT_ALL(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
-                   LEN(REGEXP_EXTRACT_ALL(text, '\+?\b\d{3}[-.]\d{3,4}[-.]\d{4}\b')) AS n_phone,
-                   MD5(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(text,
-                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g'),
+                   LEN(REGEXP_EXTRACT_ALL(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                   LEN(REGEXP_EXTRACT_ALL(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+                   LEN(REGEXP_EXTRACT_ALL(t2, '\+?\b\d{3}[-.]\d{3,4}[-.]\d{4}\b')) AS n_phone,
+                   MD5(REGEXP_REPLACE(t2,
                        '\+?\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '<PHONE>', 'g')) AS redacted_md5
-            FROM aug
+            FROM steps2
         """,
         "decontaminate": r"""
             WITH base AS (
@@ -2890,7 +2900,7 @@ def oracle_sql() -> dict[str, str]:
                         WHEN b < 95 THEN 'val'
                         ELSE 'test' END AS split,
                    COUNT(*) AS n_docs,
-                   SUM(n_chars) AS total_chars
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars
             FROM (
               SELECT lang, n_chars,
                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b
@@ -2999,8 +3009,8 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY e.user_id
             )
             SELECT COUNT(*) AS n_viewed,
-                   SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS n_clicked,
-                   SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS n_purchased,
+                   CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked,
+                   CAST(SUM(CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased,
                    ROUND(AVG((epoch_us(b.t_buy) - epoch_us(b.t_view)) / 1000000.0), 3) AS avg_funnel_secs
             FROM v LEFT JOIN c ON v.user_id = c.user_id
             LEFT JOIN b ON v.user_id = b.user_id
@@ -3044,7 +3054,7 @@ def oracle_sql() -> dict[str, str]:
                         WHEN b < 95 THEN 'val'
                         ELSE 'test' END AS split,
                    COUNT(*) AS n_docs,
-                   SUM(n_tokens) AS total_tokens
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
             FROM (
               SELECT lang, n_tokens,
                      ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b

@@ -202,12 +202,75 @@ def utm_params(code: int) -> dict | None:
     return {"lon0": 6.0 * zone - 183.0, "k0": 0.9996, "fe": 500000.0, "fn": fn}
 
 
+def _wkt_ellipsoid(spec: str) -> tuple[float, float]:
+    """(a, f) from the WKT's SPHEROID/ELLIPSOID entry; WGS84 if absent."""
+    m = re.search(
+        r'(?:SPHEROID|ELLIPSOID)\s*\[\s*"[^"]*"\s*,\s*(-?[\d.eE+]+)\s*,\s*(-?[\d.eE+]+)',
+        spec,
+        re.IGNORECASE,
+    )
+    if not m:
+        return WGS84_A, 1.0 / 298.257223563
+    a, invf = float(m.group(1)), float(m.group(2))
+    return a, (0.0 if invf == 0 else 1.0 / invf)
+
+
+def _wkt_datum_is_wgs84(spec: str) -> bool:
+    """True when the WKT's horizontal datum is WGS84-equivalent: the DATUM
+    name says WGS84, or an all-zero TOWGS84 declares a null shift. Anything
+    else (OSGB36/Airy, NAD27/Clarke, …) must NOT silently flow through a
+    WGS84-output transform — ~0.1-1 km datum shifts."""
+    m = re.search(r'DATUM\s*\[\s*"([^"]+)"', spec, re.IGNORECASE)
+    name = m.group(1) if m else ""
+    if re.search(r"WGS[ _]?(19)?84", name, re.IGNORECASE):
+        return True
+    t = re.search(r"TOWGS84\s*\[\s*([^\]]+)\]", spec, re.IGNORECASE)
+    if t:
+        vals = [float(v) for v in re.findall(r"-?[\d.eE+]+", t.group(1))[:7]]
+        return all(abs(v) < 1e-9 for v in vals)
+    return False
+
+
+def _wkt_linear_unit(spec: str) -> float:
+    """Metres-per-unit of the projected CS. In WKT1 the PROJCS linear UNIT
+    follows the GEOGCS block, so the last non-degree UNIT wins; WKT2 uses
+    LENGTHUNIT. Defaults to metre when nothing is declared."""
+    factor = 1.0
+    for m in re.finditer(
+        r'(?:LENGTHUNIT|UNIT)\s*\[\s*"([^"]*)"\s*,\s*(-?[\d.eE+]+)', spec, re.IGNORECASE
+    ):
+        name = m.group(1).lower()
+        if "degree" in name or "radian" in name or "grad" in name:
+            continue
+        factor = float(m.group(2))
+    return factor
+
+
 def _tm_wkt_params(spec: str) -> dict | None:
     """Parse TM parameters out of a WKT that declares a Transverse
     Mercator conversion (WKT1 'Transverse_Mercator' PARAMETER names or
-    WKT2 'Longitude of natural origin' style)."""
+    WKT2 'Longitude of natural origin' style).
+
+    The returned dict carries the WKT's own ellipsoid (a, f) and the
+    projected linear-unit factor ("unit", metres-per-unit, applied by the
+    caller to x/y; fe/fn here are already converted to metres). Raises
+    NotImplementedError — the dead-letter route, never a silent wrong
+    answer — for TM variants the series doesn't cover (south-orientated)
+    and for non-WGS84 datums (OSGB36, NAD27, …) where the ellipsoidal
+    inverse alone would be off by a datum shift."""
     if not re.search(r"Transverse[ _]?Mercator", spec, re.IGNORECASE):
         return None
+    if re.search(r"South[ _]?Orientated", spec, re.IGNORECASE):
+        raise NotImplementedError(
+            "Transverse Mercator South Orientated (westing/southing axes) is not "
+            "covered by the TM series; routing to dead-letter"
+        )
+    if not _wkt_datum_is_wgs84(spec):
+        raise NotImplementedError(
+            "TM WKT declares a non-WGS84 datum with no null TOWGS84 shift; the "
+            "ellipsoidal inverse alone cannot produce WGS84 output — routing to "
+            "dead-letter (pyproj seam)"
+        )
 
     def p(*names, default=None):
         for nm in names:
@@ -218,12 +281,17 @@ def _tm_wkt_params(spec: str) -> dict | None:
                 return float(m.group(1))
         return default
 
+    a, f = _wkt_ellipsoid(spec)
+    unit = _wkt_linear_unit(spec)
     return {
+        "a": a,
+        "f": f,
         "lon0": p("central_meridian", "Longitude of natural origin", default=0.0),
         "lat0": p("latitude_of_origin", "Latitude of natural origin", default=0.0),
         "k0": p("scale_factor", "Scale factor at natural origin", default=1.0),
-        "fe": p("false_easting", "False easting", default=0.0),
-        "fn": p("false_northing", "False northing", default=0.0),
+        "fe": p("false_easting", "False easting", default=0.0) * unit,
+        "fn": p("false_northing", "False northing", default=0.0) * unit,
+        "unit": unit,
     }
 
 
@@ -349,7 +417,12 @@ def transform_to_wgs84(x, y, z=None, crs_spec="EPSG:4326"):
     if utm is not None:
         lon, lat = tm_inverse(x, y, **utm)
     elif tm_wkt is not None:
-        lon, lat = tm_inverse(x, y, **tm_wkt)
+        unit = tm_wkt.pop("unit", 1.0)
+        lon, lat = tm_inverse(
+            np.asarray(x, dtype=np.float64) * unit,
+            np.asarray(y, dtype=np.float64) * unit,
+            **tm_wkt,
+        )
     elif code in (4326, 4979) or re.search(r"GEOGCRS|GEOGCS", _spec_text(crs_spec)):
         lon = np.asarray(lon_in, dtype=np.float64)
         shift = _primem_shift(crs_spec)

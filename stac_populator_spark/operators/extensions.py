@@ -112,11 +112,32 @@ def canonicalize_access_urls(access_urls_col: F.Column) -> F.Column:
     """MAP<raw service, href> → MAP<canonical ServiceType value, href>,
     dropping Compound entries (input.py:136) and disambiguating
     NetcdfSubset grid/point from the href path — the Spark reading of
-    THREDDSLoader._update_access_urls (S3, input.py:117-144)."""
-    canon = F.transform_keys(
-        access_urls_col, lambda k, v: canonical_service_key(k, v)
+    THREDDSLoader._update_access_urls (S3, input.py:117-144).
+
+    Two raw keys can canonicalize to the SAME ServiceType (e.g. 'OPENDAP'
+    and 'opendap_service' → 'OpenDAP'); the reference's dict update is
+    silently last-wins (input.py:140-142), so build the map from
+    last-wins-deduplicated entries rather than transform_keys — the latter
+    throws DUPLICATED_MAP_KEY under the default
+    spark.sql.mapKeyDedupPolicy=EXCEPTION (a job crash, not a dead-letter).
+    The dedup filter is O(n²) per row over a ≤28-entry service map — free."""
+    entries = F.map_entries(access_urls_col)
+    canon = F.transform(
+        entries,
+        lambda e: F.struct(
+            canonical_service_key(e["key"], e["value"]).alias("key"),
+            e["value"].alias("value"),
+        ),
     )
-    return F.map_filter(canon, lambda k, v: k != F.lit("Compound"))
+    kept = F.filter(canon, lambda e: e["key"] != F.lit("Compound"))
+    deduped = F.filter(
+        kept,
+        lambda e, i: F.size(
+            F.filter(kept, lambda e2, j: (e2["key"] == e["key"]) & (j > i))
+        )
+        == 0,
+    )
+    return F.map_from_entries(deduped)
 
 
 def prefix_properties(df: DataFrame, prefix: str, fields: list[str]) -> DataFrame:

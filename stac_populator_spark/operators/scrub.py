@@ -39,12 +39,17 @@ def redact_pii(df: DataFrame, text_col: str = "text",
                out_col: str = "text_redacted") -> DataFrame:
     """Replace each PII class with ``<CLASS>`` and count matches per class
     (``n_<class>`` columns, via regexp_count — stays in codegen; DuckDB
-    mirror: LEN(REGEXP_EXTRACT_ALL(...)))."""
+    mirror: LEN(REGEXP_EXTRACT_ALL(...))).
+
+    Each ``n_<class>`` is counted against the PROGRESSIVELY-REDACTED text —
+    the same value the class' own regexp_replace sees — so the count equals
+    the number of replacements actually made (ADVICE r3: an IPv4-looking
+    substring inside an already-redacted email must not inflate n_ipv4)."""
     out = df
     redacted = F.col(text_col)
     for name, pat in PII_PATTERNS.items():
         token = f"<{name.upper()}>"
-        out = out.withColumn(f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)))
+        out = out.withColumn(f"n_{name}", F.regexp_count(redacted, F.lit(pat)))
         redacted = F.regexp_replace(redacted, pat, token)
     return out.withColumn(out_col, redacted)
 

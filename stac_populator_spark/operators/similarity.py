@@ -593,3 +593,119 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, F.round("cos", 6).alias("cos"), "rank")
     )
+
+
+def _pq_query_luts(queries: DataFrame, codebooks: np.ndarray,
+                   query_id_col: str = "query_id", vec_col: str = "embedding"):
+    """Per-query (m × ksub) asymmetric-distance lookup tables, built
+    driver-side — the query set is dim-table-small by contract (same rule
+    as the footprint cover)."""
+    m, ksub, dsub = codebooks.shape
+    qpdf = queries.select(F.col(query_id_col), F.col(vec_col)).toPandas()
+    luts = {}
+    for _, row in qpdf.iterrows():
+        qv = np.asarray(row[vec_col], dtype=np.float64)
+        qv = qv / max(np.linalg.norm(qv), 1e-12)
+        luts[row[query_id_col]] = np.stack(
+            [qv[j * dsub : (j + 1) * dsub] @ codebooks[j].T for j in range(m)]
+        )
+    return luts
+
+
+def _approx_ip_udf(luts: dict, m: int):
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.DoubleType())
+    def approx_ip(code: pd.Series, qid: pd.Series) -> pd.Series:
+        codes = np.stack(code.map(np.asarray))
+        out = np.empty(len(codes))
+        for q, idx in qid.groupby(qid).groups.items():
+            ii = np.asarray(idx)
+            out[ii] = luts[q][np.arange(m)[None, :], codes[ii]].sum(axis=1)
+        return pd.Series(out)
+
+    return approx_ip
+
+
+def ivfpq_write_partitioned(corpus: DataFrame, path: str, codebooks: np.ndarray,
+                            centroids: np.ndarray, id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> None:
+    """Materialize the IVF-PQ index AS A TABLE LAYOUT: rows live in their
+    IVF list's partition directory and carry both the PQ code (the scan
+    payload) and the raw vector (the rerank payload, column-pruned out of
+    the code scan). This is the storage shape that makes 10^12-row ANN a
+    partition-pruned, code-width parquet scan."""
+    enc = pq_encode(
+        ivf_assign(corpus.select(id_col, vec_col), vec_col, centroids=centroids),
+        codebooks,
+        vec_col,
+    )
+    enc.write.mode("overwrite").partitionBy("ivf_cluster").parquet(path)
+
+
+def ivfpq_topk_partitioned(
+    spark,
+    corpus_path: str,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    centroids: np.ndarray,
+    k: int = 5,
+    n_probe: int = 4,
+    shortlist: int = 200,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """:func:`ivfpq_topk` over an :func:`ivfpq_write_partitioned` layout —
+    the fully-composed scale path: (1) the union of the queries' probe
+    lists becomes an ``isin`` PARTITION filter, so only n_probe·n_queries
+    cluster directories are opened; (2) the ADC scan reads (id, pq_code)
+    only — the embedding column never leaves parquet (ReadSchema-pruned);
+    (3) the exact rerank re-reads the probed partitions for just the
+    shortlisted ids. Scan bytes ≈ brute-force × (n_probe/k_centroids) ×
+    (code_bytes/vector_bytes)."""
+    m = codebooks.shape[0]
+    q_probe = queries.select(
+        F.col(query_id_col),
+        F.explode(_assign_udf(centroids, top_n=n_probe)(F.col(vec_col))).alias(
+            "ivf_cluster"
+        ),
+    )
+    probes = sorted(r["ivf_cluster"] for r in q_probe.select("ivf_cluster").distinct().collect())
+    codes = (
+        spark.read.parquet(corpus_path)
+        .filter(F.col("ivf_cluster").isin(probes))
+        .select(id_col, "ivf_cluster", "pq_code")
+    )
+    luts = _pq_query_luts(queries, codebooks, query_id_col, vec_col)
+    scored = codes.join(F.broadcast(q_probe), "ivf_cluster").withColumn(
+        "approx_ip", _approx_ip_udf(luts, m)(F.col("pq_code"), F.col(query_id_col))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("approx_ip").desc(), F.col(id_col).asc()
+    )
+    short = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= shortlist)
+        .select(query_id_col, id_col)
+    )
+    rerank_side = (
+        spark.read.parquet(corpus_path)
+        .filter(F.col("ivf_cluster").isin(probes))
+        .select(id_col, F.col(vec_col).alias("c_vec"))
+    )
+    cand = (
+        short.join(rerank_side, id_col)
+        .join(
+            F.broadcast(queries.select(query_id_col, F.col(vec_col).alias("q_vec"))),
+            query_id_col,
+        )
+        .withColumn("cos", cosine_expr(F.col("q_vec"), F.col("c_vec")))
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.round("cos", 6).alias("cos"), "rank")
+    )

@@ -38,9 +38,10 @@ def stac_collection_json_onepass(
     ext = extent_select(agg, keep_stats=True)  # same single groupBy
 
     pairs = []
-    # sorted(keys): _summaries_json orders by the rendered '"name":' pair
-    # string, which for distinct names equals name order
-    for k in sorted(keys):
+    # _summaries_json array_sorts the RENDERED '"name":' pair strings, so
+    # order by that same rendered key — for names containing chars below
+    # '"' (0x22, e.g. '!' or space) plain name order diverges (ADVICE r3)
+    for k in sorted(keys, key=lambda k: f'"{k}":'):
         i = list(keys).index(k)
         all_num, all_iso = F.col(f"_s{i}_num"), F.col(f"_s{i}_iso")
         entry = F.when(

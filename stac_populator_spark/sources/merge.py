@@ -64,7 +64,17 @@ def merge_lock(table_path: str, timeout_s: float = 0.0, stale_s: float = 3600.0)
             except FileNotFoundError:
                 continue  # holder just released — retry acquire
             if age > stale_s:
-                os.unlink(lock)  # crashed writer; break the stale lock
+                # Break the stale lock ATOMICALLY: rename to a unique name so
+                # exactly one waiter wins the break (a bare unlink races — the
+                # slower of two breakers could delete a FRESH lock the faster
+                # one just created, letting two writers merge concurrently).
+                # Losers get FileNotFoundError and loop back to the acquire.
+                try:
+                    broken = lock + f".broken.{uuid.uuid4().hex}"
+                    os.rename(lock, broken)
+                    os.unlink(broken)
+                except FileNotFoundError:
+                    pass  # another waiter broke it first
                 continue
             if time.monotonic() >= deadline:
                 raise ConcurrentMergeError(

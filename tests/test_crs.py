@@ -301,3 +301,106 @@ def test_compound_utm_item_through_collection_extent(spark):
     assert len(bbox) == 6
     assert bbox[2] == 5.0 and bbox[5] == 250.0  # z union
     assert bbox[0] == min(lon) and bbox[4] == max(lat)
+
+
+# --- round-4 TM-WKT hardening (ADVICE r3 high): non-WGS84 datums and TM
+# variants must RAISE (→ dead-letter route), never silently produce
+# wrong coordinates; declared ellipsoid and linear unit must be honored.
+
+_OSGB36_TM_WKT = """PROJCS["OSGB 1936 / British National Grid",
+    GEOGCS["OSGB 1936", DATUM["OSGB_1936",
+        SPHEROID["Airy 1830",6377563.396,299.3249646]],
+        PRIMEM["Greenwich",0], UNIT["degree",0.0174532925199433]],
+    PROJECTION["Transverse_Mercator"],
+    PARAMETER["latitude_of_origin",49],
+    PARAMETER["central_meridian",-2],
+    PARAMETER["scale_factor",0.9996012717],
+    PARAMETER["false_easting",400000],
+    PARAMETER["false_northing",-100000],
+    UNIT["metre",1]]"""
+
+_TM_SOUTH_WKT = """PROJCS["Hartebeesthoek94 / Lo29",
+    GEOGCS["Hartebeesthoek94", DATUM["Hartebeesthoek94",
+        SPHEROID["WGS 84",6378137,298.257223563], TOWGS84[0,0,0,0,0,0,0]],
+        PRIMEM["Greenwich",0], UNIT["degree",0.0174532925199433]],
+    PROJECTION["Transverse_Mercator_South_Orientated"],
+    PARAMETER["latitude_of_origin",0],
+    PARAMETER["central_meridian",29],
+    PARAMETER["scale_factor",1],
+    PARAMETER["false_easting",0],
+    PARAMETER["false_northing",0],
+    UNIT["metre",1]]"""
+
+# NAD83 state-plane-style TM zone in US survey feet; GRS80 ellipsoid,
+# null TOWGS84 declared (NAD83≈WGS84 at this tolerance)
+_FOOT_TM_WKT = """PROJCS["NAD83 / Fake TM zone (ftUS)",
+    GEOGCS["NAD83", DATUM["North_American_Datum_1983",
+        SPHEROID["GRS 1980",6378137,298.257222101], TOWGS84[0,0,0,0,0,0,0]],
+        PRIMEM["Greenwich",0], UNIT["degree",0.0174532925199433]],
+    PROJECTION["Transverse_Mercator"],
+    PARAMETER["latitude_of_origin",0],
+    PARAMETER["central_meridian",-75],
+    PARAMETER["scale_factor",0.9996],
+    PARAMETER["false_easting",1640416.666666667],
+    PARAMETER["false_northing",0],
+    UNIT["Foot_US",0.30480060960121924]]"""
+
+
+def test_tm_wkt_non_wgs84_datum_raises():
+    import numpy as np
+    import pytest
+
+    from stac_populator_spark.functions.crs import transform_to_wgs84
+
+    with pytest.raises(NotImplementedError, match="datum"):
+        transform_to_wgs84(
+            np.array([400000.0]), np.array([100000.0]), crs_spec=_OSGB36_TM_WKT
+        )
+
+
+def test_tm_wkt_south_orientated_raises():
+    import numpy as np
+    import pytest
+
+    from stac_populator_spark.functions.crs import transform_to_wgs84
+
+    with pytest.raises(NotImplementedError, match="South Orientated"):
+        transform_to_wgs84(
+            np.array([50000.0]), np.array([3000000.0]), crs_spec=_TM_SOUTH_WKT
+        )
+
+
+def test_tm_wkt_foot_unit_converts():
+    # forward-project on GRS80 in metres, express in US survey feet, and
+    # check the WKT path (fe declared in feet, UNIT factor applied to x/y)
+    # recovers the original lon/lat
+    import numpy as np
+
+    from stac_populator_spark.functions.crs import tm_forward, transform_to_wgs84
+
+    ft = 0.30480060960121924
+    a_grs80, invf_grs80 = 6378137.0, 298.257222101
+    lon_true, lat_true = -74.0, 40.7
+    x_m, y_m = tm_forward(
+        np.array([lon_true]), np.array([lat_true]),
+        a=a_grs80, f=1.0 / invf_grs80, lon0=-75.0, lat0=0.0, k0=0.9996,
+        fe=1640416.666666667 * ft, fn=0.0,
+    )
+    lon, lat, _ = transform_to_wgs84(x_m / ft, y_m / ft, crs_spec=_FOOT_TM_WKT)
+    assert abs(lon[0] - lon_true) < 1e-8
+    assert abs(lat[0] - lat_true) < 1e-8
+
+
+def test_tm_wkt_wgs84_ellipsoid_difference_matters():
+    # the declared SPHEROID must actually be used: parsing the same x/y
+    # with GRS80-vs-intl ellipsoids should differ (guards against a
+    # hardcoded-WGS84 regression); GRS80 vs WGS84 agree to <1e-9.
+    import numpy as np
+
+    from stac_populator_spark.functions.crs import tm_inverse
+
+    x, y = np.array([500000.0]), np.array([4427757.2])
+    base = dict(lon0=-3.0, lat0=0.0, k0=0.9996, fe=500000.0, fn=0.0)
+    lon_wgs, lat_wgs = tm_inverse(x, y, a=6378137.0, f=1 / 298.257223563, **base)
+    lon_int, lat_int = tm_inverse(x, y, a=6378388.0, f=1 / 297.0, **base)
+    assert abs(lat_wgs[0] - lat_int[0]) > 1e-4  # international ellipsoid shifts ~tens of m

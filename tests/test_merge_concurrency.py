@@ -77,3 +77,38 @@ def test_stale_lock_is_broken(spark, tmp_path):
     os.utime(lock, (old, old))
     out = merge_upsert_bucketed(spark, t, _updates(spark, range(3), "a"), n_buckets=2)
     assert out.count() == 3 and not os.path.exists(lock)
+
+
+def test_stale_break_is_atomic_single_winner(tmp_path):
+    # ADVICE r3: two waiters racing to break the same stale lock must not
+    # let both inside, and the loser's unlink must not kill the winner's
+    # fresh lock. N threads contend over a pre-staled lock; a counter
+    # guarded by the merge lock itself must never see two holders.
+    import os
+
+    t = str(tmp_path / "items")
+    os.makedirs(t, exist_ok=True)
+    lock = t + "._merge.lock"
+    open(lock, "w").write("{}")
+    old = time.time() - 7200
+    os.utime(lock, (old, old))
+
+    inside = []
+    overlap = []
+
+    def worker(i):
+        with merge_lock(t, timeout_s=10.0):
+            inside.append(i)
+            if len(inside) - len(overlap) > 1:
+                overlap.append(i)  # a second holder observed concurrently
+            time.sleep(0.02)
+            overlap.append(None)  # marker: this holder exited cleanly
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(20)
+    assert len(inside) == 8  # everyone eventually acquired
+    assert all(m is None for m in overlap)  # never two concurrent holders
+    assert not os.path.exists(lock)

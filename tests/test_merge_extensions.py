@@ -167,3 +167,43 @@ def test_merge_upsert_bucketed_touches_only_affected_buckets(spark, tmp_path):
     again = merge_upsert_bucketed(spark, tbl, spark.createDataFrame(upd), key="id", n_buckets=16)
     rows2 = {r["id"]: r["v"] for r in again.collect()}
     assert rows2 == rows
+
+
+def test_onepass_byte_parity_with_low_codepoint_keys(spark):
+    # ADVICE r3: _summaries_json orders by the RENDERED '"name":' pair
+    # string; a key containing '!' or ' ' (both < '"' 0x22) sorts
+    # differently under plain name order. The one-pass path must match the
+    # two-pass path byte-for-byte even for such keys.
+    import pandas as pd
+
+    from stac_populator_spark.operators.collection_agg import collection_extent_summaries
+    from stac_populator_spark.operators.stac_collection import (
+        stac_collection_json,
+        stac_collection_json_onepass,
+    )
+
+    # 'a!x' vs 'aa': rendered '"a!x":' < '"aa":' but plain 'a!x' > 'aa'
+    keys = ["a!x", "aa", "b key", "bz"]
+    items = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "collection_id": ["c1"] * 3,
+                "lon_min": [0.0, 1.0, 2.0], "lat_min": [0.0, 1.0, 2.0],
+                "lon_max": [3.0, 4.0, 5.0], "lat_max": [3.0, 4.0, 5.0],
+                "datetime": pd.to_datetime(["2020-01-01", "2020-01-02", "2020-01-03"]),
+                "props": [
+                    {"a!x": "1", "aa": "x", "b key": "2000-01-01T00:00:00Z", "bz": "7"},
+                    {"a!x": "2", "aa": "y", "b key": "2001-01-01T00:00:00Z", "bz": "8"},
+                    {"a!x": "3", "aa": "x", "b key": "2002-01-01T00:00:00Z", "bz": "9"},
+                ],
+            }
+        )
+    )
+    one = stac_collection_json_onepass(items, keys).select(
+        "collection_id", "stac_collection_json"
+    ).collect()[0]
+    ext, summ = collection_extent_summaries(items, keys)
+    two = stac_collection_json(ext, None, summ).select(
+        "collection_id", "stac_collection_json"
+    ).collect()[0]
+    assert one["stac_collection_json"] == two["stac_collection_json"]

@@ -67,3 +67,20 @@ def test_decontaminate_corpus_side_broadcast(spark):
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_redact_counts_match_actual_replacements(spark):
+    # ADVICE r3: an IPv4-looking substring consumed by the email redaction
+    # must not be counted as an IPv4 — n_<class> equals replacements made.
+    import pandas as pd
+
+    from stac_populator_spark.operators.scrub import redact_pii
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["contact 10.0.0.1@1.2.3.4.com plus real 10.0.0.9 host"]})
+    )
+    row = redact_pii(df).collect()[0]
+    assert row["n_email"] == 1
+    assert row["n_ipv4"] == 1  # only the standalone 10.0.0.9
+    assert "<EMAIL>" in row["text_redacted"] and "<IPV4>" in row["text_redacted"]
+    assert row["text_redacted"].count("<IPV4>") == row["n_ipv4"]

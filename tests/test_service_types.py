@@ -95,3 +95,28 @@ def test_canonicalize_access_urls_drops_compound(spark):
         "HTTPServer": "https://h/fileServer/x.nc",
         "NetcdfSubsetGrid": "https://h/ncss/grid/x.nc",
     }
+
+
+def test_canonicalize_access_urls_colliding_keys_last_wins(spark):
+    # ADVICE r3: 'OPENDAP' and 'opendap_service' both canonicalize to
+    # 'OpenDAP'; under mapKeyDedupPolicy=EXCEPTION (Spark default) a
+    # transform_keys build crashes the job — the reference dict-update is
+    # silently last-wins (input.py:140-142), so we must be too.
+    df = spark.createDataFrame(
+        [
+            (
+                [
+                    ("OPENDAP", "https://h/dodsC/first.nc"),
+                    ("wms", "https://h/wms"),
+                    ("opendap_service", "https://h/dodsC/second.nc"),
+                ],
+            )
+        ],
+        "urls array<struct<key string, value string>>",
+    )
+    from pyspark.sql import functions as F2
+
+    m = df.select(
+        canonicalize_access_urls(F2.map_from_entries(F2.col("urls"))).alias("m")
+    ).collect()[0]["m"]
+    assert m == {"OpenDAP": "https://h/dodsC/second.nc", "WMS": "https://h/wms"}

@@ -2,7 +2,14 @@
 entry on Spark and its oracle_sql() on DuckDB at sf0.01, compare row count,
 column set, and order-insensitive values. Usage:
 
-    python tools/check_oracle.py [sf_dir] [query ...]
+    python tools/check_oracle.py [sf_dir] [query ...] [--tolerant]
+
+Default comparison is DRIVER-STRICT: every cell is canonicalized to its
+lexical string form (repr for floats, str for ints) with NO dtype coercion
+and NO rounding, so an int64 Spark column vs a HUGEINT->float64 DuckDB
+column ("61699" vs "61699.0") FAILS here exactly as it fails the driver's
+value hash (the round-3 `domain_stats` class of bug). Pass --tolerant for
+the old coerced comparison when debugging genuine float drift.
 """
 
 from __future__ import annotations
@@ -20,8 +27,33 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def norm(df: pd.DataFrame) -> pd.DataFrame:
+def _canon_cell(v):
+    """Lexical canonical form mirroring the driver's value hash: floats via
+    repr (so 61699.0 != 61699), NaN/None unified, everything else str."""
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if v != v:  # NaN
+            return "∅"
+        return repr(v)
+    if isinstance(v, (np.floating,)):
+        fv = float(v)
+        return "∅" if fv != fv else repr(fv)
+    if isinstance(v, (np.integer,)):
+        return str(int(v))
+    if isinstance(v, (np.bool_, bool)):
+        return str(bool(v))
+    return str(v)
+
+
+def norm(df: pd.DataFrame, tolerant: bool = False) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
+    if not tolerant:
+        for c in df.columns:
+            if str(df[c].dtype).startswith("datetime"):
+                df[c] = df[c].astype(str)
+            df[c] = df[c].map(_canon_cell)
+        return df.sort_values(list(df.columns), na_position="last").reset_index(drop=True)
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].map(lambda v: str(v) if v is not None else None)
@@ -35,8 +67,10 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
-    only = set(a for a in sys.argv[1:] if not os.path.isdir(a))
+    args = [a for a in sys.argv[1:] if a != "--tolerant"]
+    tolerant = "--tolerant" in sys.argv[1:]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    only = set(a for a in args if not os.path.isdir(a))
 
     import __spark_entry__ as entry_mod
     from stac_populator_spark.session import get_spark
@@ -69,17 +103,30 @@ def main():
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
             continue
-        s, o = norm(sdf), norm(odf)
+        s, o = norm(sdf, tolerant), norm(odf, tolerant)
         status = []
         if len(s) != len(o):
             status.append(f"rowcount {len(s)} vs {len(o)}")
         if list(s.columns) != list(o.columns):
             status.append(f"columns {list(s.columns)} vs {list(o.columns)}")
         if not status:
-            try:
-                pd.testing.assert_frame_equal(s, o, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
-            except AssertionError as e:
-                status.append("values differ: " + str(e).split("\n")[-2][:200])
+            if tolerant:
+                try:
+                    pd.testing.assert_frame_equal(s, o, check_dtype=False, check_exact=False, rtol=0, atol=1e-9)
+                except AssertionError as e:
+                    status.append("values differ: " + str(e).split("\n")[-2][:200])
+            else:
+                if not s.equals(o):
+                    neq = (s != o).any(axis=1)
+                    idx = list(s.index[neq])[:3]
+                    detail = "; ".join(
+                        f"row{i}: " + " | ".join(
+                            f"{c}={s.at[i, c]!r}!={o.at[i, c]!r}"
+                            for c in s.columns if s.at[i, c] != o.at[i, c]
+                        )[:160]
+                        for i in idx
+                    )
+                    status.append(f"strict values differ: {detail}")
         if status:
             failures.append(name)
             print(f"FAIL  {name}: {'; '.join(status)} [{time.time()-t0:.1f}s]")
