@@ -378,6 +378,66 @@ def _ann_cosine(spark, sf_dir):
     return cosine_topk(emb, queries, k=5)
 
 
+def _ivfpq_cosine(spark, sf_dir):
+    """IVF-PQ composed ANN (FAISS pairing): IVF probe pruning decides
+    WHICH rows are scanned, PQ codes decide WHAT is scanned, exact cosine
+    rerank touches only the shortlist — recall-gated against the exact
+    top-k like ``pq_cosine`` (recall_ok is part of the hashed output).
+
+    The driver embeddings are near-isotropic gaussians (no natural IVF
+    structure), so the query PLANTS separable clusters SQL-expressibly
+    (the ``cosine_neardup`` planted-twins pattern): cluster g = vec_id%8
+    adds +3.0 on dims [8g, 8g+8) over 0.25-scaled noise — exactly
+    orthogonal block centroids, same arithmetic in the DuckDB mirror.
+    The IVF centroids are the planted blocks (no training noise in the
+    gate); PQ codebooks come from pq_train on the constructed corpus."""
+    import numpy as np
+
+    from stac_populator_spark.operators.similarity import (
+        cosine_topk,
+        ivfpq_topk,
+        pq_train,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    g = F.col("vec_id") % 8
+    corpus = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x, j: x.cast("double") * 0.25
+            + F.when(F.floor(j / 8) == g, F.lit(3.0)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    centroids = np.zeros((8, 64))
+    for c in range(8):
+        centroids[c, c * 8 : (c + 1) * 8] = 3.0
+    queries = corpus.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    n = corpus.count()
+    books = pq_train(corpus, m=8, ksub=64)
+    approx = ivfpq_topk(
+        corpus, queries, books, centroids, k=5, n_probe=2,
+        shortlist=max(50, n // 10),
+    )
+    exact = cosine_topk(corpus, queries, k=5)
+    overlap = (
+        approx.select("query_id", "vec_id")
+        .join(exact.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    per_q = exact.groupBy("query_id").agg(
+        F.round(F.sum("cos"), 4).alias("exact_cos_mass"), F.count(F.lit(1)).alias("k")
+    )
+    return per_q.join(overlap, "query_id", "left").select(
+        "query_id",
+        "exact_cos_mass",
+        (F.coalesce(F.col("n_hit"), F.lit(0)) >= 4).alias("recall_ok"),  # ≥0.8 recall@5
+    )
+
+
 def _pq_cosine(spark, sf_dir):
     """Product-quantization ANN (code-only asymmetric-distance scan →
     shortlist → exact rerank) gated by recall against the exact top-k
@@ -1678,6 +1738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_grouping_sets": _events_grouping_sets,
         "clicks_asof_purchase": _clicks_asof_purchase,
         "domain_stats": _domain_stats,
+        "ivfpq_cosine": _ivfpq_cosine,
         "stac_flagship": _stac_flagship,
         "minhash_neardup": _minhash_neardup,
         "simhash_pairs": _simhash_pairs,
@@ -2433,6 +2494,33 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
               FROM scored
             ) WHERE rank <= 5
+        """,
+        "ivfpq_cosine": """
+            WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0 FROM embeddings),
+            con AS (
+              SELECT vec_id,
+                     [v0[j] * 0.25 + CASE WHEN CAST(FLOOR((j-1)/8) AS BIGINT) = vec_id % 8
+                                          THEN 3.0 ELSE 0.0 END
+                      for j in range(1, 65)] AS v
+              FROM emb
+            ),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM con WHERE vec_id % 100 = 0),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     LIST_DOT_PRODUCT(q.qv, e.v)
+                       / (SQRT(LIST_DOT_PRODUCT(q.qv, q.qv)) * SQRT(LIST_DOT_PRODUCT(e.v, e.v))) AS cos
+              FROM con e CROSS JOIN q
+            ),
+            topk AS (
+              SELECT query_id, cos FROM (
+                SELECT query_id, cos, ROW_NUMBER() OVER (
+                  PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+                FROM scored
+              ) WHERE rank <= 5
+            )
+            SELECT query_id, ROUND(SUM(ROUND(cos, 6)), 4) AS exact_cos_mass,
+                   TRUE AS recall_ok
+            FROM topk GROUP BY query_id
         """,
         "pq_cosine": """
             WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

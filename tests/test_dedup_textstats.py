@@ -448,3 +448,63 @@ def test_components_on_dup_flood(spark):
     labels = connected_components(pairs).collect()
     assert len(labels) == n + 1
     assert {r["component"] for r in labels} == {0}
+
+
+def test_ivfpq_partitioned_layout_prunes_and_matches(spark, tmp_path):
+    # round-4: the fully-composed IVF-PQ scale path — probe list becomes a
+    # PARTITION filter, the ADC scan reads codes only (embedding pruned
+    # out of the parquet read), results match the in-memory composition.
+    import contextlib, io, os
+
+    from pyspark.sql import functions as F
+    from stac_populator_spark.operators.similarity import (
+        ivfpq_topk,
+        ivfpq_topk_partitioned,
+        ivfpq_write_partitioned,
+        pq_train,
+    )
+
+    rng = np.random.default_rng(5)
+    n, dim, g = 200, 16, 4
+    cents = np.zeros((g, dim))
+    for c in range(g):
+        cents[c, c * 4 : (c + 1) * 4] = 3.0
+    X = rng.standard_normal((n, dim)) * 0.25 + cents[np.arange(n) % g]
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(n), "embedding": [list(map(float, v)) for v in X]})
+    )
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    books = pq_train(corpus, dim=dim, m=4, ksub=16)
+
+    path = str(tmp_path / "ivfpq_corpus")
+    ivfpq_write_partitioned(corpus, path, books, cents)
+    dirs = [d for d in os.listdir(path) if d.startswith("ivf_cluster=")]
+    assert len(dirs) == g
+
+    got = ivfpq_topk_partitioned(
+        spark, path, queries, books, cents, k=5, n_probe=2, shortlist=40
+    )
+    want = ivfpq_topk(corpus, queries, books, cents, k=5, n_probe=2, shortlist=40)
+    key = lambda df: sorted(tuple(r) for r in df.collect())
+    assert key(got) == key(want)
+    # recall sanity: the planted-cluster corpus is separable, so the
+    # composed path should agree with exact top-5 for ≥80% of slots
+    from stac_populator_spark.operators.similarity import cosine_topk
+
+    exact = {(r["query_id"], r["vec_id"]) for r in cosine_topk(corpus, queries, k=5).collect()}
+    hits = {(r["query_id"], r["vec_id"]) for r in got.collect()} & exact
+    assert len(hits) >= 0.8 * len(exact)
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    flat = plan.replace("#", " #").replace("  ", " ")
+    assert "PartitionFilters: [ivf_cluster" in flat or "ivf_cluster IN" in plan
+    # the ADC scan must NOT read the embedding column: some parquet scan
+    # in the plan reads pq_code with embedding pruned away
+    scans = [s for s in plan.split("ReadSchema: ")[1:]]
+    assert any("pq_code" in s.splitlines()[0] and "embedding" not in s.splitlines()[0]
+               for s in scans), plan
