@@ -38,6 +38,22 @@ def _wrap_lon(lon: np.ndarray) -> np.ndarray:
     return ((np.asarray(lon, dtype=np.float64) + 180.0) % 360.0) - 180.0
 
 
+def _lcc_nF(e, p1, p2):
+    def m(phi):
+        return np.cos(phi) / np.sqrt(1 - (e * np.sin(phi)) ** 2)
+
+    def t(phi):
+        return np.tan(np.pi / 4 - phi / 2) / (
+            (1 - e * np.sin(phi)) / (1 + e * np.sin(phi))
+        ) ** (e / 2)
+
+    if abs(p1 - p2) < 1e-12:  # 1SP limit: n = sin(phi1) (Snyder p.107)
+        n = np.sin(p1)
+    else:
+        n = (np.log(m(p1)) - np.log(m(p2))) / (np.log(t(p1)) - np.log(t(p2)))
+    return n, m(p1) / (n * t(p1) ** n), t
+
+
 def lcc_inverse(
     x,
     y,
@@ -49,29 +65,23 @@ def lcc_inverse(
     lon0: float = -91.866667,
     fe: float = 6200000.0,
     fn: float = 3000000.0,
+    k0: float = 1.0,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Ellipsoidal Lambert Conformal Conic (2SP) inverse — Snyder pp.107-109.
-    Defaults are EPSG:3348 (Statistics Canada Lambert, GRS80)."""
+    """Ellipsoidal Lambert Conformal Conic inverse — Snyder pp.107-109.
+    2SP by default (defaults are EPSG:3348, Statistics Canada Lambert,
+    GRS80); lat1 == lat2 degrades to the 1SP variant with ``k0`` (the
+    n → sin(φ₁) limit, Snyder p.107)."""
     e = np.sqrt(2 * f - f * f)
-
-    def m(phi):
-        return np.cos(phi) / np.sqrt(1 - (e * np.sin(phi)) ** 2)
-
-    def t(phi):
-        return np.tan(np.pi / 4 - phi / 2) / (
-            (1 - e * np.sin(phi)) / (1 + e * np.sin(phi))
-        ) ** (e / 2)
-
     p1, p2, p0 = np.radians(lat1), np.radians(lat2), np.radians(lat0)
-    n = (np.log(m(p1)) - np.log(m(p2))) / (np.log(t(p1)) - np.log(t(p2)))
-    F = m(p1) / (n * t(p1) ** n)
-    rho0 = a * F * t(p0) ** n
+    n, F, t = _lcc_nF(e, p1, p2)
+    ak = a * k0
+    rho0 = ak * F * t(p0) ** n
 
     xp = np.asarray(x, dtype=np.float64) - fe
     yp = rho0 - (np.asarray(y, dtype=np.float64) - fn)
     rho = np.sign(n) * np.hypot(xp, yp)
     theta = np.arctan2(xp, yp)
-    tt = (rho / (a * F)) ** (1 / n)
+    tt = (rho / (ak * F)) ** (1 / n)
     lon = np.degrees(theta / n) + lon0
     phi = np.pi / 2 - 2 * np.arctan(tt)
     for _ in range(8):  # converges in ~4 iterations to double precision
@@ -79,6 +89,121 @@ def lcc_inverse(
             tt * ((1 - e * np.sin(phi)) / (1 + e * np.sin(phi))) ** (e / 2)
         )
     return lon, np.degrees(phi)
+
+
+def lcc_forward(
+    lon,
+    lat,
+    a: float = WGS84_A,
+    f: float = GRS80_F,
+    lat1: float = 49.0,
+    lat2: float = 77.0,
+    lat0: float = 63.390675,
+    lon0: float = -91.866667,
+    fe: float = 6200000.0,
+    fn: float = 3000000.0,
+    k0: float = 1.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Ellipsoidal LCC forward (Snyder eqs 15-1…15-10) — the independent
+    series pinning :func:`lcc_inverse` by roundtrip for arbitrary
+    WKT-parsed parameter sets."""
+    e = np.sqrt(2 * f - f * f)
+    p1, p2, p0 = np.radians(lat1), np.radians(lat2), np.radians(lat0)
+    n, F, t = _lcc_nF(e, p1, p2)
+    ak = a * k0
+    rho0 = ak * F * t(p0) ** n
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    rho = ak * F * t(phi) ** n
+    theta = n * np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    return fe + rho * np.sin(theta), fn + rho0 - rho * np.cos(theta)
+
+
+def albers_inverse(
+    x,
+    y,
+    a: float = WGS84_A,
+    f: float = GRS80_F,
+    lat1: float = 29.5,
+    lat2: float = 45.5,
+    lat0: float = 23.0,
+    lon0: float = -96.0,
+    fe: float = 0.0,
+    fn: float = 0.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Ellipsoidal Albers Equal-Area Conic inverse — Snyder pp.101-102
+    (eqs 14-1…14-21): the q-series latitude recovery. Defaults are the
+    EPSG:5070 CONUS Albers parameters (GRS80). Pinned by the
+    forward∘inverse roundtrip and Snyder's own numerical example
+    (PP1395 p.292, Clarke 1866)."""
+    e2 = 2 * f - f * f
+    e = np.sqrt(e2)
+
+    def q(phi):
+        s = np.sin(phi)
+        return (1 - e2) * (
+            s / (1 - e2 * s**2) - (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
+        )
+
+    def m(phi):
+        return np.cos(phi) / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+
+    p1, p2, p0 = np.radians(lat1), np.radians(lat2), np.radians(lat0)
+    n = (m(p1) ** 2 - m(p2) ** 2) / (q(p2) - q(p1))
+    C = m(p1) ** 2 + n * q(p1)
+    rho0 = a * np.sqrt(C - n * q(p0)) / n
+
+    xp = np.asarray(x, dtype=np.float64) - fe
+    yp = rho0 - (np.asarray(y, dtype=np.float64) - fn)
+    rho = np.hypot(xp, yp)
+    theta = np.arctan2(xp, yp)
+    qq = (C - (rho * n / a) ** 2) / n
+    # iterate eq 3-16 for phi from q
+    phi = np.arcsin(np.clip(qq / 2, -1.0, 1.0))
+    for _ in range(10):
+        s = np.sin(phi)
+        phi = phi + (1 - e2 * s**2) ** 2 / (2 * np.cos(phi)) * (
+            qq / (1 - e2)
+            - s / (1 - e2 * s**2)
+            + (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
+        )
+    lon = lon0 + np.degrees(theta / n)
+    return lon, np.degrees(phi)
+
+
+def albers_forward(
+    lon,
+    lat,
+    a: float = WGS84_A,
+    f: float = GRS80_F,
+    lat1: float = 29.5,
+    lat2: float = 45.5,
+    lat0: float = 23.0,
+    lon0: float = -96.0,
+    fe: float = 0.0,
+    fn: float = 0.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Ellipsoidal Albers forward (Snyder eqs 14-1…14-4) — the independent
+    series used to pin :func:`albers_inverse` by roundtrip."""
+    e2 = 2 * f - f * f
+    e = np.sqrt(e2)
+
+    def q(phi):
+        s = np.sin(phi)
+        return (1 - e2) * (
+            s / (1 - e2 * s**2) - (1 / (2 * e)) * np.log((1 - e * s) / (1 + e * s))
+        )
+
+    def m(phi):
+        return np.cos(phi) / np.sqrt(1 - e2 * np.sin(phi) ** 2)
+
+    p1, p2, p0 = np.radians(lat1), np.radians(lat2), np.radians(lat0)
+    n = (m(p1) ** 2 - m(p2) ** 2) / (q(p2) - q(p1))
+    C = m(p1) ** 2 + n * q(p1)
+    rho0 = a * np.sqrt(C - n * q(p0)) / n
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    rho = a * np.sqrt(C - n * q(phi)) / n
+    theta = n * np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    return fe + rho * np.sin(theta), fn + rho0 - rho * np.cos(theta)
 
 
 def tm_inverse(
@@ -295,6 +420,72 @@ def _tm_wkt_params(spec: str) -> dict | None:
     }
 
 
+def _wkt_datum_is_conic_safe(spec: str) -> bool:
+    """Datum gate for the conic WKT families: WGS84, NAD83 (the registered
+    EPSG:3347/3348 precedent — pyproj's hub path treats the NAD83→WGS84
+    shift as null, sub-metre), or an explicit all-zero TOWGS84."""
+    m = re.search(r'DATUM\s*\[\s*"([^"]+)"', spec, re.IGNORECASE)
+    name = m.group(1) if m else ""
+    if re.search(r"WGS[ _]?(19)?84|NAD83|North[ _]American[ _]Datum[ _]1983", name, re.IGNORECASE):
+        return True
+    return _wkt_datum_is_wgs84(spec)
+
+
+def _conic_wkt_params(spec: str) -> dict | None:
+    """LCC (1SP/2SP) / Albers parameters out of a PROJCS/PROJCRS WKT —
+    the generic projected-CRS fallback shrinking the dead-letter-on-sight
+    set (reference: any pyproj-resolvable CRS, stac_utils.py:110-138).
+    Returns the :func:`lcc_inverse`/:func:`albers_inverse` kwargs plus
+    ``kind`` ('lcc'|'albers') and ``unit`` (metres-per-unit for x/y);
+    raises NotImplementedError (→ dead-letter) on datums outside the
+    WGS84/NAD83/null-TOWGS84 set."""
+    is_lcc = re.search(r"Lambert[ _]Conformal[ _]Conic|Lambert[ _]Conic[ _]Conformal", spec, re.IGNORECASE)
+    is_albers = re.search(r"Albers", spec, re.IGNORECASE)
+    if not (is_lcc or is_albers):
+        return None
+    if not _wkt_datum_is_conic_safe(spec):
+        raise NotImplementedError(
+            "conic WKT declares a datum outside WGS84/NAD83 with no null "
+            "TOWGS84 shift — routing to dead-letter (pyproj seam)"
+        )
+
+    def p(*names, default=None):
+        for nm in names:
+            m = re.search(
+                r'PARAMETER\s*\[\s*"' + nm + r'"\s*,\s*(-?[\d.eE+]+)', spec, re.IGNORECASE
+            )
+            if m:
+                return float(m.group(1))
+        return default
+
+    a, f = _wkt_ellipsoid(spec)
+    unit = _wkt_linear_unit(spec)
+    lat0 = p("latitude_of_origin", "latitude_of_center",
+             "Latitude of false origin", "Latitude of natural origin", default=0.0)
+    sp1 = p("standard_parallel_1", "Latitude of 1st standard parallel")
+    sp2 = p("standard_parallel_2", "Latitude of 2nd standard parallel")
+    if sp1 is None:
+        sp1 = lat0  # 1SP form: the origin latitude is the standard parallel
+    if sp2 is None:
+        sp2 = sp1
+    out = {
+        "kind": "lcc" if is_lcc else "albers",
+        "unit": unit,
+        "a": a,
+        "f": f,
+        "lat1": sp1,
+        "lat2": sp2,
+        "lat0": lat0,
+        "lon0": p("central_meridian", "longitude_of_center",
+                  "Longitude of false origin", "Longitude of natural origin", default=0.0),
+        "fe": p("false_easting", "Easting at false origin", "False easting", default=0.0) * unit,
+        "fn": p("false_northing", "Northing at false origin", "False northing", default=0.0) * unit,
+    }
+    if is_lcc:
+        out["k0"] = p("scale_factor", "Scale factor at natural origin", default=1.0)
+    return out
+
+
 def compound_horizontal(spec: str) -> str | None:
     """CompoundCRS handling (reference: vertical axis promotes the CRS to
     3D and z passes through to a 6-element bbox — stac_utils.py:146-165,
@@ -414,6 +605,7 @@ def transform_to_wgs84(x, y, z=None, crs_spec="EPSG:4326"):
 
     utm = utm_params(code) if code is not None else None
     tm_wkt = _tm_wkt_params(spec) if utm is None else None
+    conic = _conic_wkt_params(spec) if utm is None and tm_wkt is None and code not in (3347, 3348) else None
     if utm is not None:
         lon, lat = tm_inverse(x, y, **utm)
     elif tm_wkt is not None:
@@ -423,7 +615,18 @@ def transform_to_wgs84(x, y, z=None, crs_spec="EPSG:4326"):
             np.asarray(y, dtype=np.float64) * unit,
             **tm_wkt,
         )
-    elif code in (4326, 4979) or re.search(r"GEOGCRS|GEOGCS", _spec_text(crs_spec)):
+    elif conic is not None:
+        unit = conic.pop("unit", 1.0)
+        inv = lcc_inverse if conic.pop("kind") == "lcc" else albers_inverse
+        lon, lat = inv(
+            np.asarray(x, dtype=np.float64) * unit,
+            np.asarray(y, dtype=np.float64) * unit,
+            **conic,
+        )
+    elif code in (4326, 4979) or (
+        re.search(r"GEOGCRS|GEOGCS", _spec_text(crs_spec))
+        and not re.match(r"\s*(PROJCRS|PROJCS)\s*\[", _spec_text(crs_spec))
+    ):
         lon = np.asarray(lon_in, dtype=np.float64)
         shift = _primem_shift(crs_spec)
         if shift:  # e.g. PRIMEM -360: the 0-360 convention

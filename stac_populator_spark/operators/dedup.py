@@ -89,6 +89,14 @@ def minhash_candidates(sigs: DataFrame, id_col: str = "doc_id",
     shares — callers should collapse byte-identical docs first
     (:func:`minhash_near_duplicates` does) so residual giant buckets are
     genuine near-dup clusters where representative connectivity suffices.
+
+    Shuffle profile (r4 rework, identical pair set): ONE groupBy exchange
+    per bucket grain + the final distinct — the former window(sort) +
+    bucket self-join + distinct (4 exchanges of the exploded band rows)
+    collapsed into collect_list + a higher-order member×rep expansion.
+    Memory note: a bucket materializes its id list (s longs) in one agg
+    row; exact-dup collapse upstream keeps s = distinct near-dup texts,
+    and the expansion output stays capped at s·cap pairs.
     """
     rows_per_band = n_hashes // bands
     band_cols = []
@@ -98,16 +106,28 @@ def minhash_candidates(sigs: DataFrame, id_col: str = "doc_id",
     buckets = sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
-    w = Window.partitionBy("band", "bhash").orderBy(id_col)
-    reps = buckets.withColumn("_rnk", F.row_number().over(w)).filter(
-        F.col("_rnk") <= bucket_cap
+    grouped = buckets.groupBy("band", "bhash").agg(
+        F.sort_array(F.collect_list(id_col)).alias("_ids")
     )
-    l = buckets.select(F.col(id_col).alias("a"), "band", "bhash")
-    r = reps.select(F.col(id_col).alias("b"), "band", "bhash")
+    reps = F.slice(F.col("_ids"), 1, bucket_cap)
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("_ids"),
+                lambda m: F.transform(
+                    reps,
+                    lambda r: F.struct(
+                        F.least(m, r).alias("a"), F.greatest(m, r).alias("b")
+                    ),
+                ),
+            )
+        ),
+        lambda p: p["a"] != p["b"],
+    )
     return (
-        l.join(r, ["band", "bhash"])
-        .filter(F.col("a") != F.col("b"))
-        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        grouped.filter(F.size("_ids") > 1)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .distinct()
     )
 
@@ -146,14 +166,18 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
     no intermediate shuffle is.
     """
     th = F.md5(F.col(text_col).cast("binary"))
-    # map-side-combined aggregate: the exchange carries one row per distinct
-    # hash per input partition (a window over _th would shuffle every full
-    # text row — measured 2× slower)
+    # ONE map-side-combined aggregate carries everything downstream needs:
+    # the representative, the full (sorted) member-id list, and the
+    # representative text. localCheckpoint(eager=False) pins it so the
+    # four consumers (signatures, both jaccard sides, within, cross) don't
+    # each recompute the collapse — the r3 shape recomputed this subtree
+    # per branch and paid ~4 extra scan+exchange stages (measured ~10.2s →
+    # 6.2s at sf0.1 for the identical pair set).
     grp = df.groupBy(th.alias("_th")).agg(
         F.min(id_col).alias("_rep"),
-        F.count(F.lit(1)).alias("_n"),
+        F.sort_array(F.collect_list(id_col)).alias("_ids"),
         F.min_by(F.col(text_col), F.col(id_col)).alias("_text"),
-    )
+    ).localCheckpoint(eager=False)
     reps = grp.select(F.col("_rep").alias(id_col), F.col("_text").alias(text_col))
     sigs = minhash_signatures(reps, text_col, id_col)
     cands = minhash_candidates(sigs, id_col)
@@ -161,29 +185,74 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
         F.col("jaccard") >= threshold
     )
 
-    # member map via a window over (id, hash) ONLY — one narrow shuffle of
-    # 40-byte rows instead of re-joining against the text-carrying
-    # aggregate (a window over rows that still carry text measured 2×
-    # slower; this one avoids the second scan-side hash join entirely)
-    wth = Window.partitionBy("_th")
-    mem = (
-        df.select(F.col(id_col), th.alias("_th"))
-        .withColumn("_rep", F.min(id_col).over(wth))
-        .withColumn("_n", F.count(F.lit(1)).over(wth))
+    # within: all pairs inside an exact-dup group — a higher-order
+    # expansion of the sorted id list (i<j ⇒ a<b), no window, no self-join.
+    # Output is quadratic only where the TRUE answer is quadratic.
+    ids = F.col("_ids")
+    within_pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.greatest(F.size(ids) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
     )
-    dup = mem.filter(F.col("_n") > 1)
     within = (
-        dup.select(F.col(id_col).alias("a"), "_rep")
-        .join(dup.select(F.col(id_col).alias("b"), "_rep"), "_rep")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", F.lit(1.0).alias("jaccard"))
+        grp.filter(F.size("_ids") > 1)
+        .select(F.explode(within_pairs).alias("p"))
+        .select("p.a", "p.b", F.lit(1.0).alias("jaccard"))
     )
-    cross = (
-        rep_pairs.join(mem.select(F.col(id_col).alias("ma"), F.col("_rep").alias("a")), "a")
-        .join(mem.select(F.col(id_col).alias("mb"), F.col("_rep").alias("b")), "b")
-        .select(F.least("ma", "mb").alias("a"), F.greatest("ma", "mb").alias("b"), "jaccard")
+    # cross: rep pairs (tiny, broadcast at every step) expand to member
+    # pairs via the groups' id lists; grp streams — never broadcast, never
+    # shuffled (100-TB-safe join direction).
+    mem = grp.select("_rep", "_ids")
+    half = mem.select(F.col("_rep").alias("a"), F.col("_ids").alias("_ids_a")).join(
+        F.broadcast(rep_pairs), "a"
+    )
+    crossed = mem.select(F.col("_rep").alias("b"), F.col("_ids").alias("_ids_b")).join(
+        F.broadcast(half), "b"
+    )
+    cross_pairs = F.flatten(
+        F.transform(
+            F.col("_ids_a"),
+            lambda ma: F.transform(
+                F.col("_ids_b"),
+                lambda mb: F.struct(
+                    F.least(ma, mb).alias("a"), F.greatest(ma, mb).alias("b")
+                ),
+            ),
+        )
+    )
+    cross = crossed.select(F.explode(cross_pairs).alias("p"), "jaccard").select(
+        "p.a", "p.b", "jaccard"
     )
     return cross.unionByName(within)
+
+
+_SWAR_MASK = 0x0001000100010001  # one set bit per 16-bit counter field
+
+
+def _swar_acc(col_name: str, j: int) -> F.Column:
+    """Σ over the long-array of (h >>> j) & 0x0001000100010001: field b of
+    the result counts elements with bit (16b + j) set — 4 bit-position
+    counters per traversal."""
+    return F.aggregate(
+        F.col(col_name),
+        F.lit(0).cast("long"),
+        lambda acc, h: acc
+        + F.shiftrightunsigned(h, j).bitwiseAND(F.lit(_SWAR_MASK).cast("long")),
+    )
+
+
+def _swar_guard(sig: F.Column) -> F.Column:
+    """16-bit SWAR counter fields overflow at 65536 tokens — fail loudly
+    (dead-letter route), never return a silently-wrong signature."""
+    return F.when(F.col("_n") < 65536, sig).otherwise(
+        F.raise_error(
+            F.lit("simhash: document exceeds 65535 tokens (SWAR counter bound)")
+        ).cast("long")
+    )
 
 
 def simhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -198,20 +267,28 @@ def simhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         F.transform(toks, lambda t: F.xxhash64(t)).alias("_hs"),
         F.size(toks).alias("_n"),
     )
+    # SWAR bit-count (r4): pass j accumulates FOUR bit positions at once —
+    # (h >>> j) & 0x0001000100010001 drops bits (16b + j) into independent
+    # 16-bit counter fields — so 64 per-bit array traversals become 16
+    # (higher-order aggregates are interpreted, so passes are the cost;
+    # measured ~25% off the projection, bit-identical). 16-bit fields cap
+    # the doc at 65535 tokens; larger docs fail loudly, never silently.
+    out = out.select(
+        id_col,
+        "_n",
+        *[_swar_acc("_hs", j).alias(f"_a{j}") for j in range(16)],
+    )
     sig = F.lit(0).cast("long")
     for i in range(bits):
-        cnt = F.aggregate(
-            F.col("_hs"),
-            F.lit(0),
-            lambda acc, h: acc
-            + F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)).cast("int"),
+        cnt = F.shiftrightunsigned(F.col(f"_a{i % 16}"), 16 * (i // 16)).bitwiseAND(
+            F.lit(0xFFFF).cast("long")
         )
         sig = sig.bitwiseOR(
             F.when(2 * cnt > F.col("_n"), F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
                 F.lit(0).cast("long")
             )
         )
-    return out.select(F.col(id_col), sig.alias("simhash"))
+    return out.select(F.col(id_col), _swar_guard(sig).alias("simhash"))
 
 
 def simhash_signature_md5(df: DataFrame, text_col: str = "text",
@@ -223,37 +300,42 @@ def simhash_signature_md5(df: DataFrame, text_col: str = "text",
     :func:`simhash_signature`; used by the driver oracle, where DuckDB
     mirrors the exact same arithmetic."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    # four 16-bit chunks parsed once per token (conv beats 16 per-digit
-    # instr lookups); bit i lives in chunk i//16 at position
+    # the first four 16-bit chunks of the md5 hex digest, packed into ONE
+    # long per token (conv beats 16 per-digit instr lookups); bit i of the
+    # signature lives in chunk i//16 at in-chunk position
     # (3 − (i//4)%4)·4 + (3 − i%4) — hex digit order is big-endian.
-    # Zero-exchange: the chunk arrays and the 64 per-bit counts are all
-    # higher-order array expressions of one projection.
+    # Zero-exchange + SWAR (r4): with chunk c at bit offset 16c, pass j of
+    # :func:`_swar_acc` counts four positions at once — 64 interpreted
+    # array traversals become 16, bit-identical signatures.
     hx = F.transform(toks, lambda t: F.md5(t.cast("binary")))
-    out = df.select(F.col(id_col), F.size(toks).alias("_n"), hx.alias("_hx"))
-    for c in range(4):
-        out = out.withColumn(
-            f"_c{c}",
-            F.transform(
-                F.col("_hx"),
-                lambda h: F.conv(F.substring(h, 4 * c + 1, 4), 16, 10).cast("int"),
-            ),
-        )
-
+    packed = F.transform(
+        hx,
+        lambda h: (
+            F.conv(F.substring(h, 1, 4), 16, 10)
+            .cast("long")
+            .bitwiseOR(F.shiftleft(F.conv(F.substring(h, 5, 4), 16, 10).cast("long"), 16))
+            .bitwiseOR(F.shiftleft(F.conv(F.substring(h, 9, 4), 16, 10).cast("long"), 32))
+            .bitwiseOR(F.shiftleft(F.conv(F.substring(h, 13, 4), 16, 10).cast("long"), 48))
+        ),
+    )
+    out = df.select(F.col(id_col), F.size(toks).alias("_n"), packed.alias("_pk"))
+    out = out.select(
+        id_col,
+        "_n",
+        *[_swar_acc("_pk", j).alias(f"_a{j}") for j in range(16)],
+    )
     sig = F.lit(0).cast("long")
     for i in range(64):
-        shift = (3 - (i // 4) % 4) * 4 + (3 - i % 4)
-        cnt = F.aggregate(
-            F.col(f"_c{i // 16}"),
-            F.lit(0),
-            lambda acc, ch: acc
-            + F.shiftrightunsigned(ch, shift).bitwiseAND(F.lit(1)).cast("int"),
+        shift = (3 - (i // 4) % 4) * 4 + (3 - i % 4)  # position within chunk
+        cnt = F.shiftrightunsigned(F.col(f"_a{shift}"), 16 * (i // 16)).bitwiseAND(
+            F.lit(0xFFFF).cast("long")
         )
         sig = sig.bitwiseOR(
             F.when(2 * cnt > F.col("_n"), F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
                 F.lit(0).cast("long")
             )
         )
-    return out.select(F.col(id_col), sig.alias("simhash"))
+    return out.select(F.col(id_col), _swar_guard(sig).alias("simhash"))
 
 
 def simhash_candidates(sigs: DataFrame, id_col: str = "doc_id",
@@ -290,10 +372,14 @@ def simhash_candidates(sigs: DataFrame, id_col: str = "doc_id",
             F.lit((1 << widths[c]) - 1)
         )
 
-    # collapse identical signatures (exact dups flood every band)
+    # collapse identical signatures (exact dups flood every band); ONE
+    # aggregate carries rep + sorted member list, pinned so the four
+    # consumers don't recompute it (same r4 rework as
+    # :func:`minhash_near_duplicates`, measured ~2× at sf0.1)
     grp = sigs.groupBy("simhash").agg(
-        F.min(id_col).alias("_rep"), F.count(F.lit(1)).alias("_n")
-    )
+        F.min(id_col).alias("_rep"),
+        F.sort_array(F.collect_list(id_col)).alias("_ids"),
+    ).localCheckpoint(eager=False)
     reps = grp.select(F.col("_rep").alias(id_col), "simhash")
 
     combos = list(itertools.combinations(range(n_blocks), band_size))
@@ -308,34 +394,74 @@ def simhash_candidates(sigs: DataFrame, id_col: str = "doc_id",
         F.col(id_col), F.col("simhash"), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, "simhash", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
 
-    w = Window.partitionBy("band", "bhash").orderBy(id_col)
-    rep_side = buckets.withColumn("_rnk", F.row_number().over(w)).filter(
-        F.col("_rnk") <= bucket_cap
+    # bucket-grain groupBy + member×rep higher-order expansion (no window,
+    # no bucket self-join — see minhash_candidates' shuffle-profile note)
+    grouped = buckets.groupBy("band", "bhash").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(id_col).alias("i"), F.col("simhash").alias("s")))
+        ).alias("_m")
     )
-    l = buckets.select(F.col(id_col).alias("a"), F.col("simhash").alias("sig_a"), "band", "bhash")
-    r = rep_side.select(F.col(id_col).alias("b"), F.col("simhash").alias("sig_b"), "band", "bhash")
+    rep_slice = F.slice(F.col("_m"), 1, bucket_cap)
+    cand = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("_m"),
+                lambda m: F.transform(
+                    rep_slice,
+                    lambda r: F.struct(
+                        F.least(m["i"], r["i"]).alias("a"),
+                        F.greatest(m["i"], r["i"]).alias("b"),
+                        F.bit_count(m["s"].bitwiseXOR(r["s"])).cast("int").alias("hamming"),
+                    ),
+                ),
+            )
+        ),
+        lambda p: (p["a"] != p["b"]) & (p["hamming"] <= F.lit(max_hamming)),
+    )
     rep_pairs = (
-        l.join(r, ["band", "bhash"])
-        .filter(F.col("a") != F.col("b"))
-        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"), "hamming")
+        grouped.filter(F.size("_m") > 1)
+        .select(F.explode(cand).alias("p"))
+        .select("p.a", "p.b", "p.hamming")
         .distinct()
     )
 
     # expand collapsed groups back to member pairs
-    mem = sigs.join(grp, "simhash").select(F.col(id_col).alias("m"), "_rep", "_n")
-    dup = mem.filter(F.col("_n") > 1)
-    within = (
-        dup.select(F.col("m").alias("a"), "_rep")
-        .join(dup.select(F.col("m").alias("b"), "_rep"), "_rep")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", F.lit(0).cast("int").alias("hamming"))
+    ids = F.col("_ids")
+    within_pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.greatest(F.size(ids) - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
     )
-    cross = (
-        rep_pairs.join(mem.select(F.col("m").alias("ma"), F.col("_rep").alias("a")), "a")
-        .join(mem.select(F.col("m").alias("mb"), F.col("_rep").alias("b")), "b")
-        .select(F.least("ma", "mb").alias("a"), F.greatest("ma", "mb").alias("b"), "hamming")
+    within = (
+        grp.filter(F.size("_ids") > 1)
+        .select(F.explode(within_pairs).alias("p"))
+        .select("p.a", "p.b", F.lit(0).cast("int").alias("hamming"))
+    )
+    # cross: broadcast the tiny rep-pair set at every step; grp streams
+    mem = grp.select("_rep", "_ids")
+    half = mem.select(F.col("_rep").alias("a"), F.col("_ids").alias("_ids_a")).join(
+        F.broadcast(rep_pairs), "a"
+    )
+    crossed = mem.select(F.col("_rep").alias("b"), F.col("_ids").alias("_ids_b")).join(
+        F.broadcast(half), "b"
+    )
+    cross_pairs = F.flatten(
+        F.transform(
+            F.col("_ids_a"),
+            lambda ma: F.transform(
+                F.col("_ids_b"),
+                lambda mb: F.struct(
+                    F.least(ma, mb).alias("a"), F.greatest(ma, mb).alias("b")
+                ),
+            ),
+        )
+    )
+    cross = crossed.select(F.explode(cross_pairs).alias("p"), "hamming").select(
+        "p.a", "p.b", "hamming"
     )
     return cross.unionByName(within)
 

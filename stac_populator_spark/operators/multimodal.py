@@ -147,15 +147,43 @@ def decode_wav(payload: bytes) -> np.ndarray:
     raise NotImplementedError(f"{bits}-bit WAV not supported")
 
 
+def _try_pil():
+    """Optional-wheel seam (VERDICT r3 item 7): when a PIL wheel is
+    present, compressed image decode (JPEG/PNG/…) goes through it; the
+    pure-numpy PPM/BMP path stays the wheel-free fallback. Resolved once
+    per Python worker at first use."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _try_soundfile():
+    try:
+        import soundfile  # noqa: PLC0415
+
+        return soundfile
+    except ImportError:
+        return None
+
+
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    pil = _try_pil()
+    if pil is not None:
+        import io  # noqa: PLC0415
+
+        img = pil.open(io.BytesIO(payload)).convert("L")
+        return np.asarray(img, dtype=np.uint8)
     if not fake:
         raise NotImplementedError(
-            "compressed image decode (JPEG/PNG) needs PIL/opencv (not in "
-            "this container); uncompressed PPM/BMP decode natively; "
+            "compressed image decode (JPEG/PNG) needs a PIL/opencv wheel "
+            "(absent here); uncompressed PPM/BMP decode natively; "
             "pass fake=True for the deterministic stub"
         )
     return _fake_decode(payload, 64)
@@ -164,11 +192,18 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
 def decode_audio(payload: bytes, fake: bool = False) -> np.ndarray:
     if payload[:4] == b"RIFF":
         return decode_wav(payload)
+    sf = _try_soundfile()
+    if sf is not None:
+        import io  # noqa: PLC0415
+
+        data, _rate = sf.read(io.BytesIO(payload), dtype="int16", always_2d=True)
+        mono = data.astype(np.int32).mean(axis=1)
+        return ((mono + 32768) >> 8).astype(np.uint8)
     if not fake:
         raise NotImplementedError(
-            "compressed audio decode needs soundfile/ffmpeg (not in this "
-            "container); PCM WAV decodes natively; pass fake=True for the "
-            "deterministic stub"
+            "compressed audio decode needs a soundfile/ffmpeg wheel "
+            "(absent here); PCM WAV decodes natively; pass fake=True for "
+            "the deterministic stub"
         )
     return _fake_decode(payload, 256)
 

@@ -404,3 +404,153 @@ def test_tm_wkt_wgs84_ellipsoid_difference_matters():
     lon_wgs, lat_wgs = tm_inverse(x, y, a=6378137.0, f=1 / 298.257223563, **base)
     lon_int, lat_int = tm_inverse(x, y, a=6378388.0, f=1 / 297.0, **base)
     assert abs(lat_wgs[0] - lat_int[0]) > 1e-4  # international ellipsoid shifts ~tens of m
+
+
+# --- round-4: generic conic WKT fallback (VERDICT r3 item 6) — LCC
+# 1SP/2SP and Albers parameterized from WKT, same independent-series
+# discipline as the UTM work; non-WGS84/NAD83 datums still dead-letter.
+
+_STATCAN_LCC_WKT = """PROJCS["NAD83 / Statistics Canada Lambert",
+    GEOGCS["NAD83", DATUM["North_American_Datum_1983",
+        SPHEROID["GRS 1980",6378137,298.257222101]],
+        PRIMEM["Greenwich",0], UNIT["degree",0.0174532925199433]],
+    PROJECTION["Lambert_Conformal_Conic_2SP"],
+    PARAMETER["standard_parallel_1",49],
+    PARAMETER["standard_parallel_2",77],
+    PARAMETER["latitude_of_origin",63.390675],
+    PARAMETER["central_meridian",-91.866667],
+    PARAMETER["false_easting",6200000],
+    PARAMETER["false_northing",3000000],
+    UNIT["metre",1]]"""
+
+_CONUS_ALBERS_WKT = """PROJCS["NAD83 / Conus Albers",
+    GEOGCS["NAD83", DATUM["North_American_Datum_1983",
+        SPHEROID["GRS 1980",6378137,298.257222101]],
+        PRIMEM["Greenwich",0], UNIT["degree",0.0174532925199433]],
+    PROJECTION["Albers_Conic_Equal_Area"],
+    PARAMETER["standard_parallel_1",29.5],
+    PARAMETER["standard_parallel_2",45.5],
+    PARAMETER["latitude_of_center",23],
+    PARAMETER["longitude_of_center",-96],
+    PARAMETER["false_easting",0],
+    PARAMETER["false_northing",0],
+    UNIT["metre",1]]"""
+
+_ETRS89_LCC_WKT = """PROJCS["ETRS89-extended / LCC Europe",
+    GEOGCS["ETRS89", DATUM["European_Terrestrial_Reference_System_1989",
+        SPHEROID["GRS 1980",6378137,298.257222101]],
+        PRIMEM["Greenwich",0], UNIT["degree",0.0174532925199433]],
+    PROJECTION["Lambert_Conformal_Conic_2SP"],
+    PARAMETER["standard_parallel_1",35],
+    PARAMETER["standard_parallel_2",65],
+    PARAMETER["latitude_of_origin",52],
+    PARAMETER["central_meridian",10],
+    PARAMETER["false_easting",4000000],
+    PARAMETER["false_northing",2800000],
+    UNIT["metre",1]]"""
+
+
+def test_generic_lcc_wkt_matches_registered_epsg3348():
+    # the SAME reference points as test_from_nad83_statcan_lambert_epsg3348,
+    # but routed through the WKT parameter parser instead of the code registry
+    lon, lat, _ = transform_to_wgs84(
+        [10436931, 5740845], [2093070, 2000000], None, _STATCAN_LCC_WKT
+    )
+    assert list(lat) == pytest.approx([38.7545891461986, 53.94358296286908])
+    assert list(lon) == pytest.approx([-40.00269171523382, -98.98931749790985])
+
+
+def test_albers_forward_matches_snyder_example():
+    # Snyder PP1395 p.292 numerical example (Clarke 1866 ellipsoid):
+    # φ=35°N λ=75°W → x=1,885,472.7  y=1,535,925.0
+    import numpy as np
+
+    from stac_populator_spark.functions.crs import albers_forward, albers_inverse
+
+    a, f = 6378206.4, 1 / 294.9786982
+    x, y = albers_forward(
+        np.array([-75.0]), np.array([35.0]), a=a, f=f,
+        lat1=29.5, lat2=45.5, lat0=23.0, lon0=-96.0,
+    )
+    assert x[0] == pytest.approx(1885472.7, abs=0.5)
+    assert y[0] == pytest.approx(1535925.0, abs=0.5)
+    lon, lat = albers_inverse(x, y, a=a, f=f, lat1=29.5, lat2=45.5, lat0=23.0, lon0=-96.0)
+    assert lon[0] == pytest.approx(-75.0, abs=1e-9)
+    assert lat[0] == pytest.approx(35.0, abs=1e-9)
+
+
+def test_albers_wkt_roundtrip():
+    import numpy as np
+
+    from stac_populator_spark.functions.crs import albers_forward
+
+    rng = np.random.default_rng(23)
+    lon = rng.uniform(-120, -75, 200)
+    lat = rng.uniform(25, 48, 200)
+    x, y = albers_forward(lon, lat)  # CONUS Albers defaults (GRS80)
+    lon2, lat2, _ = transform_to_wgs84(x, y, None, _CONUS_ALBERS_WKT)
+    assert np.abs(lon2 - lon).max() < 1e-9
+    assert np.abs(lat2 - lat).max() < 1e-9
+
+
+def test_lcc_1sp_with_scale_factor_roundtrip():
+    import numpy as np
+
+    from stac_populator_spark.functions.crs import lcc_forward, lcc_inverse
+
+    kw = dict(lat1=46.8, lat2=46.8, lat0=46.8, lon0=2.337229,
+              fe=600000.0, fn=200000.0, k0=0.99987742)
+    rng = np.random.default_rng(29)
+    lon = rng.uniform(-4, 8, 200)
+    lat = rng.uniform(42, 51, 200)
+    x, y = lcc_forward(lon, lat, **kw)
+    lon2, lat2 = lcc_inverse(x, y, **kw)
+    assert np.abs(lon2 - lon).max() < 1e-9
+    assert np.abs(lat2 - lat).max() < 1e-9
+
+
+def test_conic_wkt_unsafe_datum_raises():
+    import numpy as np
+
+    # ETRS89 is not in the WGS84/NAD83/null-TOWGS84 safe set → dead-letter
+    with pytest.raises(NotImplementedError, match="datum"):
+        transform_to_wgs84(np.array([4000000.0]), np.array([2800000.0]), None, _ETRS89_LCC_WKT)
+
+
+def test_unknown_projcs_no_longer_slips_into_geographic_branch():
+    import numpy as np
+
+    # a PROJCS with an unregistered projection family must raise (the
+    # GEOGCS nested inside it used to match the geographic regex)
+    wkt = _CONUS_ALBERS_WKT.replace("Albers_Conic_Equal_Area", "Sinusoidal").replace(
+        "Albers", "Sinu")
+    with pytest.raises((NotImplementedError, ValueError)):
+        transform_to_wgs84(np.array([1000000.0]), np.array([2000000.0]), None, wkt)
+
+
+def test_lcc_wkt_catalog_through_collection_extent(spark):
+    # VERDICT r3 item 6 done-criterion: a non-UTM LCC-WKT catalog flows
+    # end-to-end through collection_extent with reference-matching values
+    import numpy as np
+    import pandas as pd
+
+    from stac_populator_spark.operators.collection_agg import collection_extent
+
+    e = np.array([10436931.0, 5740845.0])
+    n = np.array([2093070.0, 2000000.0])
+    lon, lat, _ = transform_to_wgs84(e, n, crs_spec=_STATCAN_LCC_WKT)
+    items = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "collection_id": ["lcc"] * 2,
+                "lon_min": lon, "lat_min": lat, "lon_max": lon, "lat_max": lat,
+                "datetime": pd.to_datetime(["2020-01-01", "2020-01-02"]),
+            }
+        )
+    )
+    row = collection_extent(items).collect()[0]
+    bbox = list(row["bbox"])
+    assert bbox[0] == pytest.approx(-98.98931749790985)
+    assert bbox[1] == pytest.approx(38.7545891461986)
+    assert bbox[2] == pytest.approx(-40.00269171523382)
+    assert bbox[3] == pytest.approx(53.94358296286908)

@@ -78,3 +78,37 @@ def test_feature_extraction_over_real_codecs(spark):
     # rerun is bit-identical (deterministic end-to-end)
     again = {r["url"]: r for r in extract_features(media, fake=False).collect()}
     assert again["u3"]["feature"] == got["u3"]["feature"]
+
+
+def test_compressed_decode_uses_wheel_when_present():
+    # optional-wheel seam: with PIL present a PNG decodes for real; with it
+    # absent the raise stays. Runs whichever branch this environment has.
+    import pytest
+
+    from stac_populator_spark.operators.multimodal import (
+        _try_pil,
+        _try_soundfile,
+        decode_audio,
+        decode_image,
+    )
+
+    png_magic = b"\x89PNG\r\n\x1a\n" + b"\x00" * 32
+    if _try_pil() is None:
+        with pytest.raises(NotImplementedError, match="PIL"):
+            decode_image(png_magic)
+    else:  # pragma: no cover - wheel-present environments only
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.frombytes("L", (4, 4), bytes(range(16))).save(buf, format="PNG")
+        out = decode_image(buf.getvalue())
+        assert out.shape == (4, 4) and out.flatten().tolist() == list(range(16))
+
+    ogg_magic = b"OggS" + b"\x00" * 32
+    if _try_soundfile() is None:
+        with pytest.raises(NotImplementedError, match="soundfile"):
+            decode_audio(ogg_magic)
+    else:  # pragma: no cover
+        assert decode_audio(ogg_magic) is not None

@@ -115,9 +115,10 @@ def test_pip_join_left_stays_broadcast_no_fact_shuffle(spark, pages_path):
 
 
 def test_lsh_bucket_cap_plan_bounded(spark):
-    # the hot-bucket cap is a rank-filter inside the bucket shuffle, not an
-    # extra all-pairs stage: exactly the window sort + the candidate join,
-    # no CartesianProduct anywhere
+    # r4 shape: the hot-bucket cap is a slice inside ONE bucket-grain
+    # groupBy (collect_list + member×rep expansion) — no window sort, no
+    # bucket self-join, no CartesianProduct; exchanges are exactly the
+    # bucket groupBy + the final distinct
     import pandas as pd
 
     from stac_populator_spark.operators.dedup import minhash_candidates, minhash_signatures
@@ -127,7 +128,9 @@ def test_lsh_bucket_cap_plan_bounded(spark):
     )
     plan = plan_of(minhash_candidates(minhash_signatures(docs)))
     assert "CartesianProduct" not in plan
-    assert "Window" in plan
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert plan.count("Exchange") <= 4  # groupBy + distinct (AQE may double-list)
 
 
 def test_repetition_stats_zero_exchange(spark, pages_path):
