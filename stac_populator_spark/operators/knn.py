@@ -143,6 +143,57 @@ def _ring_topk(left_pts: DataFrame, right_pts: DataFrame, k: int, res: int,
     )
 
 
+def _polar_rotate(lon_col: F.Column, lat_col: F.Column, south: bool):
+    """Rotate the sphere so the pole sits at (0°, 0°): the polar cap maps
+    to a low-latitude disk where the equirect hex-ring guarantee is tight
+    (the cos(lat) metric degeneracy vanishes). Pure trig column
+    expressions; haversine distance is rotation-invariant, so distances
+    computed on ORIGINAL coordinates remain the proof quantity. South cap
+    reflects lat first (reflection also preserves distances)."""
+    sign = -1.0 if south else 1.0
+    lam = F.radians(lon_col)
+    phi = F.radians(lat_col * F.lit(sign))
+    rlat = F.degrees(F.asin(-F.cos(phi) * F.cos(lam)))
+    rlon = F.degrees(F.atan2(F.cos(phi) * F.sin(lam), F.sin(phi)))
+    return rlon, rlat
+
+
+def _polar_ring_topk(left_pts: DataFrame, right_pts: DataFrame, k: int, res: int,
+                     radius: int, south: bool) -> DataFrame:
+    """:func:`_ring_topk` in pole-rotated coordinates: cells/rings key on
+    the rotated (lon, lat); ``dist_km`` stays haversine on the ORIGINAL
+    coordinates (bit-identical to every other path). No antimeridian
+    ghosts needed — the cap maps to a disk around (0, 0), nowhere near
+    ±180° in rotated space."""
+    cell = hex_cell_at_res(res)
+    rlon_l, rlat_l = _polar_rotate(F.col("lon"), F.col("lat"), south)
+    left = left_pts.select(
+        F.col("id").alias("l_id"),
+        F.col("lon").alias("l_lon"),
+        F.col("lat").alias("l_lat"),
+        rlat_l.alias("l_rlat"),
+        F.explode(kring_udf(radius)(cell(rlon_l, rlat_l))).alias("cell"),
+    )
+    rlon_r, rlat_r = _polar_rotate(F.col("lon"), F.col("lat"), south)
+    right = right_pts.select(
+        F.col("id").alias("r_id"),
+        F.col("lon").alias("r_lon"),
+        F.col("lat").alias("r_lat"),
+        cell(rlon_r, rlat_r).alias("cell"),
+    )
+    pairs = left.join(right, "cell").filter(F.col("l_id") != F.col("r_id"))
+    pairs = pairs.withColumn("dist_km", haversine_udf("l_lon", "l_lat", "r_lon", "r_lat"))
+    w = Window.partitionBy("l_id").orderBy(F.col("dist_km").asc(), F.col("r_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("l_id").alias("id"), F.col("r_id").alias("neighbor_id"),
+            "dist_km", "rank", F.col("l_rlat").alias("_rlat"),
+        )
+    )
+
+
 def knn_join(
     items: DataFrame,
     k: int = 3,
@@ -246,6 +297,7 @@ def knn_join_exact(
     res: int | None = 4,
     radius: int = 1,
     id_col: str = "id",
+    return_stats: bool = False,
 ) -> DataFrame:
     """EXACT kNN at scale: ring-local pass + per-point distance guarantee,
     ESCALATING ring radius for points not yet proven, brute force only for
@@ -318,6 +370,61 @@ def knn_join_exact(
         prev_cnt = cnt
         radius_i *= 2
 
+    # polar-cap ring pass (r4, VERDICT r3 item 5): unproven near-pole
+    # points get ring-local guarantees in pole-rotated coordinates — the
+    # cap maps to a low-latitude disk where the equirect bound is tight —
+    # instead of defaulting into the brute remnant. A point is proven when
+    # its kth distance satisfies BOTH the rotated ring bound and the
+    # band-edge bound (no candidate below the band floor can be closer).
+    # 111.0 km/deg is a strict lower bound of the 111.195 haversine scale.
+    stats = {"polar_proven": 0, "polar_cap": 0}
+    polar_floor = 80.0
+    band_margin = 5.0
+    if remaining.limit(1).count() > 0:
+        for south in (False, True):
+            cap_pred = (
+                (F.col("lat") <= -polar_floor) if south else (F.col("lat") >= polar_floor)
+            )
+            cap = remaining.filter(cap_pred)
+            n_cap = cap.count()
+            if n_cap == 0:
+                continue
+            stats["polar_cap"] += n_cap
+            band_floor = polar_floor - band_margin
+            band_pred = (
+                (F.col("lat") <= -band_floor) if south else (F.col("lat") >= band_floor)
+            )
+            band = pts.filter(band_pred)
+            span = 2.0 * (90.0 - band_floor)
+            res_p = choose_res(band.count(), k=k, radius=radius,
+                               lon_span=span, lat_span=span)
+            ring = _polar_ring_topk(cap, band, k=k, res=res_p, radius=radius, south=south)
+            e_p = edge_deg_at(res_p)
+            d_deg_safe = max(
+                1.5 * e_p * (radius + 1) - 2.0 * e_p, e_p * radius * (3.0 ** 0.5) / 2.0
+            )
+            per_point = ring.groupBy("id").agg(
+                F.count(F.lit(1)).alias("n_found"),
+                F.max("dist_km").alias("kth_km"),
+                F.first("_rlat").alias("_rlat"),
+            ).join(cap.select("id", "lat"), "id")
+            rlat_margin = F.least(F.abs(F.col("_rlat")) + F.lit(d_deg_safe), F.lit(89.0))
+            ring_ok = F.col("kth_km") <= F.lit(d_deg_safe) * F.lit(111.0) * F.cos(
+                F.radians(rlat_margin)
+            )
+            edge_ok = F.col("kth_km") <= (F.abs(F.col("lat")) - F.lit(band_floor)) * F.lit(111.0)
+            proven = per_point.filter(
+                (F.col("n_found") >= k) & ring_ok & edge_ok
+            ).select("id").localCheckpoint()
+            n_proven = proven.count()
+            if n_proven == 0:
+                continue
+            stats["polar_proven"] += n_proven
+            done_parts.append(
+                ring.drop("_rlat").join(F.broadcast(proven), "id", "left_semi")
+            )
+            remaining = remaining.join(F.broadcast(proven), "id", "left_anti")
+
     # brute-force remnant: broadcast the (tiny) unproven side
     l = remaining.select(
         F.col("id").alias("l_id"), F.col("lon").alias("l_lon"), F.col("lat").alias("l_lat")
@@ -339,6 +446,9 @@ def knn_join_exact(
     out = redo
     for part in done_parts:
         out = out.unionByName(part)
+    if return_stats:
+        stats["brute"] = remaining.count()
+        return out, stats
     return out
 
 

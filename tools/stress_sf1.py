@@ -1,14 +1,17 @@
 """sf1 scale-stress (VERDICT r2 ask #6): run the heaviest queries at 10×
 the bench scale on generated sf1-equivalent data.
 
-Three gates:
+Four gates:
 1. **oracle** — every heavy query with a DuckDB-feasible oracle re-checked
    at sf1 via tools/check_oracle.py;
 2. **self-consistency** — queries whose oracle is O(n²)-bound at sf1
    (LSH families, cosine near-dup, component clustering) hash-compared
    across parallelism levels (local[8] vs local[32], fresh sessions);
 3. **per-row cost** — sf1 wall time vs sf0.1 wall time in identical
-   sessions: ratio/10 must stay ≤ 2 (no superlinear blowup).
+   sessions: ratio/10 must stay ≤ 2 (no superlinear blowup);
+4. **polar ring path** — the |lat|≥80 cap of the doc-point grid must be
+   ≥80% proven by the pole-rotated ring pass (knn_polar_stats.py), with
+   the brute remnant bounded — pole points no longer default to brute.
 
 Writes benchdata/SF1_STRESS.json; append the summary to BENCH/BASELINE.md.
 
@@ -120,11 +123,32 @@ def main():
     result["per_row_cost"] = cost
     result["cost_ok"] = all(c["ok"] for c in cost.values())
 
-    result["ok"] = result["oracle_ok"] and result["consistency_ok"] and result["cost_ok"]
+    print("== gate 4: polar cap resolves via rotated ring path ==", flush=True)
+    ps = subprocess.run(
+        [sys.executable, os.path.join(HERE, "knn_polar_stats.py"), sf1, "32"],
+        capture_output=True, text=True, cwd=REPO, timeout=1800,
+    )
+    if ps.returncode != 0:
+        raise RuntimeError(f"knn_polar_stats failed:\n{ps.stderr[-3000:]}")
+    polar = json.loads([l for l in ps.stdout.splitlines() if l.startswith("{")][-1])
+    polar["ok"] = (
+        polar["polar_cap"] > 0
+        and polar["polar_proven"] >= 0.8 * polar["polar_cap"]
+        and polar["brute"] <= 0.2 * polar["n_points"]
+    )
+    print(f"  cap={polar['polar_cap']} ring-proven={polar['polar_proven']} "
+          f"brute={polar['brute']}/{polar['n_points']} ok={polar['ok']}", flush=True)
+    result["polar"] = polar
+    result["polar_ok"] = polar["ok"]
+
+    result["ok"] = (
+        result["oracle_ok"] and result["consistency_ok"] and result["cost_ok"]
+        and result["polar_ok"]
+    )
     out_path = os.path.join(REPO, "benchdata/SF1_STRESS.json")
     with open(out_path, "w") as f:
         json.dump(result, f, indent=2)
-    print(json.dumps({k: result[k] for k in ("oracle_ok", "consistency_ok", "cost_ok", "ok")}))
+    print(json.dumps({k: result[k] for k in ("oracle_ok", "consistency_ok", "cost_ok", "polar_ok", "ok")}))
     sys.exit(0 if result["ok"] else 1)
 
 
