@@ -62,6 +62,7 @@ def main():
         "pii_redact",
         "decontaminate",
         "pq_cosine",
+        "ivfpq_cosine",
         "stac_collections",
         "q9_profit_by_nation",
         "training_prep",
