@@ -48,6 +48,7 @@ ORACLE_FEASIBLE = [
     "ann_cosine",
     "ivf_cosine",
     "pq_cosine",
+    "ivfpq_cosine",
 ]
 CONSISTENCY_ONLY = [
     "minhash_neardup",
