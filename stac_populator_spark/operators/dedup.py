@@ -247,8 +247,9 @@ def _swar_acc(col_name: str, j: int) -> F.Column:
 
 def _swar_guard(sig: F.Column) -> F.Column:
     """16-bit SWAR counter fields overflow at 65536 tokens — fail loudly
-    (dead-letter route), never return a silently-wrong signature."""
-    return F.when(F.col("_n") < 65536, sig).otherwise(
+    (dead-letter route), never return a silently-wrong signature. Null
+    text (null _n) propagates null, matching the pre-SWAR arithmetic."""
+    return F.when(F.col("_n").isNull() | (F.col("_n") < 65536), sig).otherwise(
         F.raise_error(
             F.lit("simhash: document exceeds 65535 tokens (SWAR counter bound)")
         ).cast("long")
