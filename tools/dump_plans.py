@@ -1,11 +1,16 @@
 """Regenerate PLANS.md: formatted physical plans of the engine's key
-operators with scale commentary. Run: python tools/dump_plans.py"""
+operators with scale commentary — the COMPLETE section set (rounds 1-4),
+so 'regenerate: python tools/dump_plans.py' is actually true.
+
+Run: python tools/dump_plans.py
+"""
 
 from __future__ import annotations
 
 import contextlib
 import io
 import os
+import shutil
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -19,16 +24,32 @@ def plan_of(df) -> str:
 
 
 def main():
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import functions as F
 
     from stac_populator_spark.datagen import footprints_pdf, pages_df
     from stac_populator_spark.operators.cells import encode_cells
+    from stac_populator_spark.operators.chunking import chunk_documents
     from stac_populator_spark.operators.collection_agg import collection_extent
-    from stac_populator_spark.operators.dedup import minhash_signatures
+    from stac_populator_spark.operators.dedup import (
+        minhash_candidates,
+        minhash_near_duplicates,
+        minhash_signatures,
+        simhash_signature_md5,
+    )
     from stac_populator_spark.operators.extract import extract_items
-    from stac_populator_spark.operators.knn import knn_join
+    from stac_populator_spark.operators.knn import _polar_ring_topk, knn_join
+    from stac_populator_spark.operators.similarity import (
+        ivfpq_topk_partitioned,
+        ivfpq_write_partitioned,
+        pq_train,
+    )
     from stac_populator_spark.operators.spatial_join import footprint_cover_df, pip_join
+    from stac_populator_spark.operators.stac_collection import stac_collection_json_onepass
+    from stac_populator_spark.operators.textstats import with_repetition_stats
     from stac_populator_spark.plans.pipeline import build_items
+    from stac_populator_spark.sources.paging import next_page
     from stac_populator_spark.session import get_spark
 
     spark = get_spark(app_name="dump-plans", master="local[4]", shuffle_partitions=4)
@@ -37,6 +58,7 @@ def main():
         pages_df(spark, 1000, partitions=2).write.mode("overwrite").parquet(tmp)
     pages = spark.read.parquet(tmp)
     cover = footprint_cover_df(spark, footprints_pdf())
+    docs = pages.select(F.col("url").alias("doc_id"), "text")
 
     sections = []
 
@@ -70,12 +92,170 @@ def main():
     ))
 
     sections.append((
-        "MinHash signatures (dedup)",
-        "Shingle explode is narrow; all 64 min() aggregations combine "
-        "map-side (partial HashAggregate before the exchange), so the "
-        "shuffle carries one 64-long row per document regardless of "
-        "document length.",
-        plan_of(minhash_signatures(pages.select(F.col("url").alias("doc_id"), "text"))),
+        "Corpus-complete left PIP join (round 2)",
+        "`how='left'` folds the rectangle refinement into the join "
+        "condition so the corpus-complete path stays ONE "
+        "BroadcastHashJoin(LeftOuter) — null-geometry and "
+        "footprint-unmatched pages flow through with a null collection and "
+        "the fact side still never exchanges (pinned by "
+        "tests/test_plans.py::test_pip_join_left_stays_broadcast_no_fact_shuffle).",
+        plan_of(pip_join(items, cover, how="left")),
+    ))
+
+    sections.append((
+        "Zero-exchange MinHash / SimHash signatures (rounds 3-4)",
+        "Both signature families are higher-order array expressions inside "
+        "one projection — no explode, no groupBy, no Exchange at all "
+        "(pinned: tests/test_plans.py::test_minhash_signatures_zero_exchange). "
+        "Round 4 added SWAR bit-counting to SimHash: pass j accumulates "
+        "four bit positions per array traversal in independent 16-bit "
+        "counter fields, so the 64 interpreted per-bit passes become 16 — "
+        "bit-identical signatures, loud failure above 65535 tokens/doc. "
+        "Local CPU remains higher than an explode+groupBy (higher-order "
+        "exprs evaluate outside whole-stage codegen) — the right trade "
+        "when the eliminated exchange is network I/O on a real cluster.",
+        plan_of(minhash_signatures(docs))
+        + "\n\n--- simhash (md5/SWAR variant) ---\n\n"
+        + plan_of(simhash_signature_md5(docs)),
+    ))
+
+    sections.append((
+        "Hot-bucket-capped LSH candidate join (round 4 shape)",
+        "Candidate generation is ONE bucket-grain groupBy (collect_list of "
+        "the bucket's sorted ids) + a higher-order member×representative "
+        "expansion capped at bucket_cap, then the distinct — the round-2/3 "
+        "window-sort + bucket self-join (4 exchanges of the exploded band "
+        "rows) collapsed to 2 exchanges with the identical pair set "
+        "(tests/test_plans.py::test_lsh_bucket_cap_plan_bounded pins: no "
+        "Window, no join, no CartesianProduct).",
+        plan_of(minhash_candidates(minhash_signatures(docs))),
+    ))
+
+    sections.append((
+        "MinHash near-dup pipeline (round 4)",
+        "The exact-dup collapse is ONE map-side-combined aggregate carrying "
+        "representative + sorted member-id list + representative text, "
+        "pinned with localCheckpoint so its four consumers (signatures, "
+        "both jaccard sides, within/cross expansion) don't recompute the "
+        "subtree; within-group pairs and cross-group member pairs are "
+        "higher-order array expansions; the rep-pair joins broadcast the "
+        "tiny pair set and STREAM the corpus-side aggregate (100-TB-safe "
+        "direction). Measured ~10.2s → 6.2s at sf0.1 for the identical "
+        "pair set.",
+        plan_of(minhash_near_duplicates(docs.limit(500), threshold=0.5)),
+    ))
+
+    sections.append((
+        "Keyset pagination page (S7/S8, round 2)",
+        "Each page is `key > token ORDER BY key LIMIT n`: the resume "
+        "predicate is pushed into the parquet scan (PushedFilters, "
+        "row-group skipping on a sorted layout) and the order+limit "
+        "compiles to TakeOrderedAndProject — a top-k, never a global sort "
+        "and never an OFFSET re-scan "
+        "(tests/test_paging.py::test_keyset_filter_is_pushed_down).",
+        plan_of(next_page(pages.select("url"), "url", after="m", page_size=100)),
+    ))
+
+    sections.append((
+        "Repetition quality filter (round-2 continuation)",
+        "All signals (top-token share via sorted-array run-length "
+        "`aggregate`, dup-2-gram fraction, distinct ratio) evaluate inside "
+        "ONE narrow projection over the scan — zero Exchange, so at 10^12 "
+        "documents the filter pipelines with extraction instead of paying "
+        "a wordcount shuffle "
+        "(tests/test_plans.py::test_repetition_stats_zero_exchange).",
+        plan_of(with_repetition_stats(docs)),
+    ))
+
+    sections.append((
+        "Token-window chunking (round-2 continuation)",
+        "sequence + explode + slice fan-out: rows multiply INSIDE the "
+        "partition (Generate), no Exchange; the chunk text is an array "
+        "slice join — the training-assembly step rides the same stage as "
+        "the upstream filters "
+        "(tests/test_dedup_textstats.py::test_chunking_plan_is_narrow).",
+        plan_of(chunk_documents(docs)),
+    ))
+
+    sections.append((
+        "One-pass stac_collections (round 3)",
+        "Extent + typed summaries + JSON assembly from ONE aggregation: a "
+        "single documents scan carries lang/source + derived lon/lat "
+        "through the broadcast PIP join, one ObjectHashAggregate pair "
+        "(partial map-side, one collection-grain Exchange), one final "
+        "projection builds the complete collection document — zero "
+        "doc-grain shuffles, zero post-agg joins (pinned: "
+        "tests/test_plans.py::test_stac_collections_fact_side_shuffle_free).",
+        plan_of(
+            stac_collection_json_onepass(
+                build_items(pages, cover)
+                .filter(F.col("collection_id").isNotNull())
+                .withColumn("datetime", F.col("warc_ts"))
+                .withColumn(
+                    "props",
+                    F.create_map(F.lit("lang"), F.col("lang")),
+                ),
+                ["lang"],
+            )
+        ),
+    ))
+
+    # --- round 4: IVF-PQ partitioned layout ---
+    rng = np.random.default_rng(7)
+    cents = np.zeros((4, 16))
+    for c in range(4):
+        cents[c, c * 4 : (c + 1) * 4] = 3.0
+    X = rng.standard_normal((400, 16)) * 0.25 + cents[np.arange(400) % 4]
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(400), "embedding": [list(map(float, v)) for v in X]})
+    )
+    books = pq_train(corpus, dim=16, m=4, ksub=16)
+    layout = "/tmp/plans_ivfpq"
+    shutil.rmtree(layout, ignore_errors=True)
+    ivfpq_write_partitioned(corpus, layout, books, cents)
+    queries = corpus.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    sections.append((
+        "IVF-PQ over the partitioned layout (round 4)",
+        "The composed ANN scale path: the queries' probe lists become an "
+        "`isin` PARTITION filter (only n_probe·n_queries cluster "
+        "directories open — see PartitionFilters), the ADC scan reads "
+        "(vec_id, pq_code) ONLY (ReadSchema excludes the embedding "
+        "column), and the exact rerank re-reads the probed partitions for "
+        "just the shortlisted ids. Scan bytes ≈ brute force × "
+        "(n_probe/k_centroids) × (code_bytes/vector_bytes) (pinned: "
+        "tests/test_dedup_textstats.py::test_ivfpq_partitioned_layout_prunes_and_matches).",
+        plan_of(
+            ivfpq_topk_partitioned(
+                spark, layout, queries, books, cents, k=5, n_probe=2, shortlist=40
+            )
+        ),
+    ))
+
+    # --- round 4: polar kNN ring pass ---
+    polar_pdf = pd.DataFrame(
+        {
+            "id": range(200),
+            "lon": rng.uniform(-180, 180, 200),
+            "lat": 90.0 - rng.uniform(0.0, 6.0, 200),
+        }
+    )
+    polar_pts = spark.createDataFrame(polar_pdf)
+    sections.append((
+        "Polar-cap kNN ring pass (round 4)",
+        "Points above |lat| 80° get ring-local guarantees in POLE-ROTATED "
+        "coordinates (the cap maps to a low-latitude disk where the "
+        "equirect hex-grid bound is tight) instead of defaulting to the "
+        "brute remnant; dist_km stays haversine on the ORIGINAL "
+        "coordinates, bit-identical to every other path. Same shuffle "
+        "shape as the equatorial ring pass: narrow k-ring explode, one "
+        "cell equi-join, window top-k "
+        "(tests/test_knn_tiles.py::test_knn_polar_cluster_rings_not_brute; "
+        "sf1 stress gate 4).",
+        plan_of(
+            _polar_ring_topk(polar_pts, polar_pts, k=3, res=6, radius=1, south=False)
+        ),
     ))
 
     out = ["# PLANS — key physical plans (regenerate: python tools/dump_plans.py)\n"]
