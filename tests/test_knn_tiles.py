@@ -227,7 +227,9 @@ def test_knn_polar_cluster_rings_not_brute(spark):
     )
     pts = spark.createDataFrame(pd.concat([polar, world], ignore_index=True))
 
-    out, stats = knn_join_exact(pts, k=3, res=None, radius=1, return_stats=True)
+    # brute_budget=0: force the at-scale regime (see knn_polar_stats.py)
+    out, stats = knn_join_exact(pts, k=3, res=None, radius=1,
+                                return_stats=True, brute_budget=0)
     got = {(r["id"], r["rank"]): (r["neighbor_id"], round(r["dist_km"], 6))
            for r in out.collect()}
     want = {(r["id"], r["rank"]): (r["neighbor_id"], round(r["dist_km"], 6))

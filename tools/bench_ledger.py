@@ -15,8 +15,18 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def load(path):
+    """Driver snapshots wrap the bench JSON line inside a 'tail' field of
+    captured stdout; a local run IS the JSON line."""
+    import re
+
     with open(path) as f:
-        return json.load(f)
+        d = json.load(f)
+    if "queries" in d:
+        return d
+    m = re.search(r'\{"metric".*', d.get("tail", ""))
+    if not m:
+        raise ValueError(f"no bench JSON found in {path}")
+    return json.loads(m.group(0))
 
 
 def main():

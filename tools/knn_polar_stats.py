@@ -35,7 +35,11 @@ def main():
         .withColumnRenamed("doc_id", "id")
     )
     n_points = pts.count()
-    out, stats = knn_join_exact(pts, k=3, res=None, radius=1, return_stats=True)
+    # brute_budget=0 forces the at-scale regime (cap x total always over
+    # budget) so the gate probes the polar ring MACHINERY; results are
+    # exact on every path, so hashes are unchanged either way
+    out, stats = knn_join_exact(pts, k=3, res=None, radius=1,
+                                return_stats=True, brute_budget=0)
     stats.update({"n_points": n_points, "rows": out.count()})
     print(json.dumps(stats))
 
