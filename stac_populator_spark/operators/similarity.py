@@ -402,13 +402,22 @@ def pq_train(
             cents.append(nxt)
             d2min = np.minimum(d2min, ((S - nxt) ** 2).sum(axis=1))
         C = np.stack(cents)
+        # Lloyd step in matmul form: |S-C|² = |S|² + |C|² − 2·S·Cᵀ avoids
+        # the (n, ksub, dsub) broadcast array — at sample_n=20k, ksub=256
+        # that intermediate was ~40M doubles PER subspace PER iteration
+        # and dominated the pq_cosine bench entry. |S|² is constant across
+        # the argmin row, so it is dropped from the comparison entirely.
         for _ in range(iters):
-            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            d2 = (C**2).sum(axis=1)[None, :] - 2.0 * (S @ C.T)
             assign = np.argmin(d2, axis=1)
-            for c in range(ksub):
-                members = S[assign == c]
-                if len(members):
-                    C[c] = members.mean(axis=0)
+            # per-cluster means via one weighted bincount per dimension
+            counts = np.bincount(assign, minlength=ksub)
+            sums = np.stack(
+                [np.bincount(assign, weights=S[:, j], minlength=ksub) for j in range(S.shape[1])],
+                axis=1,
+            )
+            nz = counts > 0
+            C[nz] = sums[nz] / counts[nz, None]
         books.append(C)
     return np.stack(books)  # (m, ksub, dsub)
 
