@@ -43,6 +43,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's 1MB minPartitionSize floor can coalesce a small-BYTES but
+        # CPU-expensive exchange output (higher-order-expr signature
+        # projections run interpreted: ~500B/doc but ~1ms/doc) down to ONE
+        # task — measured 4.4s single-threaded vs 0.75s at full
+        # parallelism on the minhash collapse output. 64KB keeps
+        # parallelismFirst in charge for those; big exchanges still follow
+        # the 64MB advisory size.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
