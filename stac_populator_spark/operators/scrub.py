@@ -96,11 +96,15 @@ def decontaminate(
     corpus_shingled = corpus.select(
         F.col(id_col), F.explode(ngram_hashes(F.col(text_col), n)).alias("h")
     )
+    # hits is tiny (matched docs only) but its subtree holds the full
+    # corpus shingle explode — pin it so the clean/contaminated split
+    # doesn't run the explode twice (lazy checkpoint: materialized inside
+    # whichever branch executes first, reused by the other)
     hits = (
         corpus_shingled.join(F.broadcast(eval_hashes), "h")
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
+    ).localCheckpoint(eager=False)
     contaminated = corpus.join(hits, id_col)
     clean = corpus.join(hits.select(id_col), id_col, "left_anti")
     return clean, contaminated
