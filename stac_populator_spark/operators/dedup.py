@@ -231,6 +231,11 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
 
 
 _SWAR_MASK = 0x0001000100010001  # one set bit per 16-bit counter field
+# Above this token count the TOP counter field would carry into the long
+# sign bit and ANSI mode aborts the add — such rows take the per-bit slow
+# path instead (a per-row If branch: defined for every row, evaluated
+# only for giants, so normal rows keep the 16-pass cost).
+_SWAR_MAX_TOKENS = 32768
 
 
 def _swar_acc(col_name: str, j: int) -> F.Column:
@@ -245,14 +250,14 @@ def _swar_acc(col_name: str, j: int) -> F.Column:
     )
 
 
-def _swar_guard(sig: F.Column) -> F.Column:
-    """16-bit SWAR counter fields overflow at 65536 tokens — fail loudly
-    (dead-letter route), never return a silently-wrong signature. Null
-    text (null _n) propagates null, matching the pre-SWAR arithmetic."""
-    return F.when(F.col("_n").isNull() | (F.col("_n") < 65536), sig).otherwise(
-        F.raise_error(
-            F.lit("simhash: document exceeds 65535 tokens (SWAR counter bound)")
-        ).cast("long")
+def _bit_count_at(col_name: str, pos: int) -> F.Column:
+    """Per-bit count (the pre-SWAR formulation): number of array elements
+    with bit ``pos`` set — the giant-document fallback path."""
+    return F.aggregate(
+        F.col(col_name),
+        F.lit(0),
+        lambda acc, h: acc
+        + F.shiftrightunsigned(h, pos).bitwiseAND(F.lit(1)).cast("int"),
     )
 
 
@@ -272,24 +277,38 @@ def simhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     # (h >>> j) & 0x0001000100010001 drops bits (16b + j) into independent
     # 16-bit counter fields — so 64 per-bit array traversals become 16
     # (higher-order aggregates are interpreted, so passes are the cost;
-    # measured ~25% off the projection, bit-identical). 16-bit fields cap
-    # the doc at 65535 tokens; larger docs fail loudly, never silently.
+    # measured ~25% off the projection, bit-identical). Docs beyond
+    # _SWAR_MAX_TOKENS take the per-bit path via a per-row If, so the
+    # result is exact at ANY document size.
+    swar_ok = F.col("_n") < _SWAR_MAX_TOKENS
     out = out.select(
         id_col,
         "_n",
-        *[_swar_acc("_hs", j).alias(f"_a{j}") for j in range(16)],
+        "_hs",
+        *[
+            F.when(swar_ok, _swar_acc("_hs", j)).alias(f"_a{j}")
+            for j in range(16)
+        ],
     )
-    sig = F.lit(0).cast("long")
+    sig_fast = F.lit(0).cast("long")
+    sig_slow = F.lit(0).cast("long")
     for i in range(bits):
         cnt = F.shiftrightunsigned(F.col(f"_a{i % 16}"), 16 * (i // 16)).bitwiseAND(
             F.lit(0xFFFF).cast("long")
         )
-        sig = sig.bitwiseOR(
+        sig_fast = sig_fast.bitwiseOR(
             F.when(2 * cnt > F.col("_n"), F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
                 F.lit(0).cast("long")
             )
         )
-    return out.select(F.col(id_col), _swar_guard(sig).alias("simhash"))
+        slow_cnt = _bit_count_at("_hs", i)
+        sig_slow = sig_slow.bitwiseOR(
+            F.when(2 * slow_cnt > F.col("_n"), F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    sig = F.when(swar_ok, sig_fast).otherwise(sig_slow)
+    return out.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_signature_md5(df: DataFrame, text_col: str = "text",
@@ -320,23 +339,36 @@ def simhash_signature_md5(df: DataFrame, text_col: str = "text",
         ),
     )
     out = df.select(F.col(id_col), F.size(toks).alias("_n"), packed.alias("_pk"))
+    swar_ok = F.col("_n") < _SWAR_MAX_TOKENS
     out = out.select(
         id_col,
         "_n",
-        *[_swar_acc("_pk", j).alias(f"_a{j}") for j in range(16)],
+        "_pk",
+        *[
+            F.when(swar_ok, _swar_acc("_pk", j)).alias(f"_a{j}")
+            for j in range(16)
+        ],
     )
-    sig = F.lit(0).cast("long")
+    sig_fast = F.lit(0).cast("long")
+    sig_slow = F.lit(0).cast("long")
     for i in range(64):
         shift = (3 - (i // 4) % 4) * 4 + (3 - i % 4)  # position within chunk
         cnt = F.shiftrightunsigned(F.col(f"_a{shift}"), 16 * (i // 16)).bitwiseAND(
             F.lit(0xFFFF).cast("long")
         )
-        sig = sig.bitwiseOR(
+        sig_fast = sig_fast.bitwiseOR(
             F.when(2 * cnt > F.col("_n"), F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
                 F.lit(0).cast("long")
             )
         )
-    return out.select(F.col(id_col), _swar_guard(sig).alias("simhash"))
+        slow_cnt = _bit_count_at("_pk", 16 * (i // 16) + shift)
+        sig_slow = sig_slow.bitwiseOR(
+            F.when(2 * slow_cnt > F.col("_n"), F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    sig = F.when(swar_ok, sig_fast).otherwise(sig_slow)
+    return out.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_candidates(sigs: DataFrame, id_col: str = "doc_id",

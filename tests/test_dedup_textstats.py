@@ -508,3 +508,42 @@ def test_ivfpq_partitioned_layout_prunes_and_matches(spark, tmp_path):
     scans = [s for s in plan.split("ReadSchema: ")[1:]]
     assert any("pq_code" in s.splitlines()[0] and "embedding" not in s.splitlines()[0]
                for s in scans), plan
+
+
+def test_simhash_giant_doc_takes_slow_path_exactly(spark):
+    # r4 SWAR counters are 16-bit and ANSI long-add would overflow at
+    # 32768 counts in the top field — docs beyond _SWAR_MAX_TOKENS take
+    # the per-bit slow path via a per-row If and must produce the exact
+    # per-bit-majority signature; normal docs keep the 16-pass SWAR cost.
+    import numpy as np
+    import pandas as pd
+
+    from stac_populator_spark.operators.dedup import simhash_signature
+
+    rng = np.random.default_rng(41)
+    vocab = [f"w{i}" for i in range(50)]
+    giant_toks = [vocab[i] for i in rng.integers(0, 50, 40000)]
+    giant = " ".join(giant_toks)
+    small = " ".join(giant_toks[:100])
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": [giant, small]})
+    )
+    rows = {r["doc_id"]: r["simhash"] for r in simhash_signature(df).collect()}
+
+    # independent per-bit majority in numpy via the same xxhash64 values
+    from pyspark.sql import functions as F
+
+    tok_df = spark.createDataFrame(pd.DataFrame({"t": sorted(set(giant_toks))}))
+    hmap = {r["t"]: r["h"] for r in tok_df.select("t", F.xxhash64("t").alias("h")).collect()}
+
+    def ref_sig(toks):
+        hs = np.array([hmap[t] for t in toks], dtype=np.int64).astype(np.uint64)
+        sig = 0
+        for i in range(64):
+            cnt = int(((hs >> np.uint64(i)) & np.uint64(1)).sum())
+            if 2 * cnt > len(toks):
+                sig |= 1 << i
+        return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+    assert rows[1] == ref_sig(giant_toks)
+    assert rows[2] == ref_sig(giant_toks[:100])
