@@ -80,7 +80,11 @@ def lcc_inverse(
     xp = np.asarray(x, dtype=np.float64) - fe
     yp = rho0 - (np.asarray(y, dtype=np.float64) - fn)
     rho = np.sign(n) * np.hypot(xp, yp)
-    theta = np.arctan2(xp, yp)
+    # Snyder p.107: for n < 0 (southern standard parallels) the signs of
+    # x and (ρ₀ − y) must be reversed before the θ computation — without
+    # this every southern LCC longitude lands off by 180°/n
+    s = np.sign(n)
+    theta = np.arctan2(s * xp, s * yp)
     tt = (rho / (ak * F)) ** (1 / n)
     lon = np.degrees(theta / n) + lon0
     phi = np.pi / 2 - 2 * np.arctan(tt)
@@ -155,7 +159,10 @@ def albers_inverse(
     xp = np.asarray(x, dtype=np.float64) - fe
     yp = rho0 - (np.asarray(y, dtype=np.float64) - fn)
     rho = np.hypot(xp, yp)
-    theta = np.arctan2(xp, yp)
+    # Snyder p.102: for n < 0 (southern standard parallels) reverse the
+    # signs of x and (ρ₀ − y) before θ — ρ₀ is itself negative there
+    s = np.sign(n)
+    theta = np.arctan2(s * xp, s * yp)
     qq = (C - (rho * n / a) ** 2) / n
     # iterate eq 3-16 for phi from q
     phi = np.arcsin(np.clip(qq / 2, -1.0, 1.0))
@@ -347,7 +354,10 @@ def _wkt_datum_is_wgs84(spec: str) -> bool:
     WGS84-output transform — ~0.1-1 km datum shifts."""
     m = re.search(r'DATUM\s*\[\s*"([^"]+)"', spec, re.IGNORECASE)
     name = m.group(1) if m else ""
-    if re.search(r"WGS[ _]?(19)?84", name, re.IGNORECASE):
+    # WKT1 spells it 'WGS_1984'/'WGS 84'; WKT2 uses the full
+    # 'World Geodetic System 1984' (code-review r4: the short-form-only
+    # match dead-lettered plain-WGS84 WKT2 catalogs)
+    if re.search(r"WGS[ _]?(19)?84|World[ _]Geodetic[ _]System[ _]1984", name, re.IGNORECASE):
         return True
     t = re.search(r"TOWGS84\s*\[\s*([^\]]+)\]", spec, re.IGNORECASE)
     if t:

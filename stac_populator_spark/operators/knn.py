@@ -308,9 +308,12 @@ def knn_join_exact(
     in a cell at hex-distance ≥ radius+1 from p's cell lies at least
     ``D_deg = max(1.5·e·(radius+1) − 2e, e·radius·√3/2)`` degrees from p
     (center spacing ≥ 1.5e per hex step, ±e circumradius each side).
-    A neighbor at d km can be at most ``d / (111.32·cos(|lat|+D_deg))``
-    degrees away, so a point is *proven complete* when it has ≥ k ring
-    candidates and its k-th distance satisfies that bound.
+    A neighbor at d km can be at most ``d / (111.0·cos(|lat|+D_deg))``
+    degrees away (111.0 is a STRICT lower bound of the 111.195 km/deg
+    haversine meridian scale — an upper bound here would mark points
+    proven whose true k-th neighbor hides just outside the ring), so a
+    point is *proven complete* when it has ≥ k ring candidates and its
+    k-th distance satisfies that bound.
 
     Scale shape: a single fixed-radius pass leaves a density-independent
     fraction unproven (high-latitude points pay a worst-case cos() factor),
@@ -364,7 +367,7 @@ def knn_join_exact(
         )
         stats = remaining.join(per_point, "id", "left")
         lat_margin = F.least(F.abs(F.col("lat")) + F.lit(d_deg_safe), F.lit(89.0))
-        required_deg = F.col("kth_km") / (F.lit(111.32) * F.cos(F.radians(lat_margin)))
+        required_deg = F.col("kth_km") / (F.lit(111.0) * F.cos(F.radians(lat_margin)))
         near_pole = F.abs(F.col("lat")) >= F.lit(90.0 - 2.0 * e * (radius_i + 1))
         satisfied = (F.col("n_found") >= k) & (required_deg <= F.lit(d_deg_safe)) & ~near_pole
         unsat = stats.filter(~F.coalesce(satisfied, F.lit(False))).select(

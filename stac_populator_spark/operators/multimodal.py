@@ -174,38 +174,56 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if fake:
+        # fake mode is the DETERMINISTIC stub regardless of wheels — tests
+        # and fake-mode pipelines must behave identically in every env
+        return _fake_decode(payload, 64)
     pil = _try_pil()
     if pil is not None:
         import io  # noqa: PLC0415
 
-        img = pil.open(io.BytesIO(payload)).convert("L")
-        return np.asarray(img, dtype=np.uint8)
-    if not fake:
-        raise NotImplementedError(
-            "compressed image decode (JPEG/PNG) needs a PIL/opencv wheel "
-            "(absent here); uncompressed PPM/BMP decode natively; "
-            "pass fake=True for the deterministic stub"
-        )
-    return _fake_decode(payload, 64)
+        try:
+            img = pil.open(io.BytesIO(payload)).convert("L")
+        except Exception as e:  # noqa: BLE001 - normalize to the dead-letter contract
+            raise NotImplementedError(
+                f"compressed image decode failed via PIL ({type(e).__name__}: {e}); "
+                "routing to dead-letter"
+            ) from e
+        # ravel: the feature stage buckets PIXELS — the native PPM/BMP
+        # decoders return 1-D pixel streams and this path must match
+        return np.asarray(img, dtype=np.uint8).ravel()
+    raise NotImplementedError(
+        "compressed image decode (JPEG/PNG) needs a PIL/opencv wheel "
+        "(absent here); uncompressed PPM/BMP decode natively; "
+        "pass fake=True for the deterministic stub"
+    )
 
 
 def decode_audio(payload: bytes, fake: bool = False) -> np.ndarray:
     if payload[:4] == b"RIFF":
         return decode_wav(payload)
+    if fake:
+        return _fake_decode(payload, 256)
     sf = _try_soundfile()
     if sf is not None:
         import io  # noqa: PLC0415
 
-        data, _rate = sf.read(io.BytesIO(payload), dtype="int16", always_2d=True)
-        mono = data.astype(np.int32).mean(axis=1)
+        try:
+            data, _rate = sf.read(io.BytesIO(payload), dtype="int16", always_2d=True)
+        except Exception as e:  # noqa: BLE001 - normalize to the dead-letter contract
+            raise NotImplementedError(
+                f"compressed audio decode failed via soundfile ({type(e).__name__}: {e}); "
+                "routing to dead-letter"
+            ) from e
+        # mean() yields float64 — recast before the shift (decode_wav's
+        # 16-bit path does the same int32 round-trip)
+        mono = data.astype(np.int32).mean(axis=1).astype(np.int32)
         return ((mono + 32768) >> 8).astype(np.uint8)
-    if not fake:
-        raise NotImplementedError(
-            "compressed audio decode needs a soundfile/ffmpeg wheel "
-            "(absent here); PCM WAV decodes natively; pass fake=True for "
-            "the deterministic stub"
-        )
-    return _fake_decode(payload, 256)
+    raise NotImplementedError(
+        "compressed audio decode needs a soundfile/ffmpeg wheel "
+        "(absent here); PCM WAV decodes natively; pass fake=True for "
+        "the deterministic stub"
+    )
 
 
 # deterministic encoders — fixture/datagen side of the round-trip tests

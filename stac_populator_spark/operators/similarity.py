@@ -468,33 +468,12 @@ def pq_topk(
     score; (3) exact cosine rerank joins the shortlist ids (a tiny set)
     back to their true vectors. Returns (query_id, vec_id, cos, rank).
     """
-    from pyspark.sql import types as T
-    from pyspark.sql.functions import pandas_udf
-
-    m, ksub, dsub = codebooks.shape
-    qpdf = queries.select(F.col(query_id_col), F.col(vec_col)).toPandas()
-    luts = {}
-    for _, row in qpdf.iterrows():
-        qv = np.asarray(row[vec_col], dtype=np.float64)
-        qv = qv / max(np.linalg.norm(qv), 1e-12)
-        luts[row[query_id_col]] = np.stack(
-            [qv[j * dsub : (j + 1) * dsub] @ codebooks[j].T for j in range(m)]
-        )  # (m, ksub)
-
-    @pandas_udf(T.DoubleType())
-    def approx_ip(code: pd.Series, qid: pd.Series) -> pd.Series:
-        codes = np.stack(code.map(np.asarray))
-        out = np.empty(len(codes))
-        for q, idx in qid.groupby(qid).groups.items():
-            lut = luts[q]
-            ii = np.asarray(idx)
-            out[ii] = lut[np.arange(m)[None, :], codes[ii]].sum(axis=1)
-        return pd.Series(out)
-
+    m = codebooks.shape[0]
+    luts = _pq_query_luts(queries, codebooks, query_id_col, vec_col)
     enc = pq_encode(corpus.select(id_col, vec_col), codebooks).select(id_col, "pq_code")
     qids = queries.select(query_id_col)
     scored = enc.crossJoin(F.broadcast(qids)).withColumn(
-        "approx_ip", approx_ip(F.col("pq_code"), F.col(query_id_col))
+        "approx_ip", _approx_ip_udf(luts, m)(F.col("pq_code"), F.col(query_id_col))
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("approx_ip").desc(), F.col(id_col).asc()
@@ -543,27 +522,8 @@ def ivfpq_topk(
     two multiplicative reductions — while the recall gate stays the same
     shape as :func:`pq_topk`'s.
     """
-    from pyspark.sql import types as T
-    from pyspark.sql.functions import pandas_udf
-
-    m, ksub, dsub = codebooks.shape
-    qpdf = queries.select(F.col(query_id_col), F.col(vec_col)).toPandas()
-    luts = {}
-    for _, row in qpdf.iterrows():
-        qv = np.asarray(row[vec_col], dtype=np.float64)
-        qv = qv / max(np.linalg.norm(qv), 1e-12)
-        luts[row[query_id_col]] = np.stack(
-            [qv[j * dsub : (j + 1) * dsub] @ codebooks[j].T for j in range(m)]
-        )
-
-    @pandas_udf(T.DoubleType())
-    def approx_ip(code: pd.Series, qid: pd.Series) -> pd.Series:
-        codes = np.stack(code.map(np.asarray))
-        out = np.empty(len(codes))
-        for q, idx in qid.groupby(qid).groups.items():
-            ii = np.asarray(idx)
-            out[ii] = luts[q][np.arange(m)[None, :], codes[ii]].sum(axis=1)
-        return pd.Series(out)
+    m = codebooks.shape[0]
+    luts = _pq_query_luts(queries, codebooks, query_id_col, vec_col)
 
     # IVF side: corpus rows keyed by their list; queries explode probes
     enc = pq_encode(
@@ -578,7 +538,7 @@ def ivfpq_topk(
         ),
     )
     scored = enc.join(F.broadcast(q_probe), "ivf_cluster").withColumn(
-        "approx_ip", approx_ip(F.col("pq_code"), F.col(query_id_col))
+        "approx_ip", _approx_ip_udf(luts, m)(F.col("pq_code"), F.col(query_id_col))
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("approx_ip").desc(), F.col(id_col).asc()

@@ -64,14 +64,29 @@ def merge_lock(table_path: str, timeout_s: float = 0.0, stale_s: float = 3600.0)
             except FileNotFoundError:
                 continue  # holder just released — retry acquire
             if age > stale_s:
-                # Break the stale lock ATOMICALLY: rename to a unique name so
-                # exactly one waiter wins the break (a bare unlink races — the
-                # slower of two breakers could delete a FRESH lock the faster
-                # one just created, letting two writers merge concurrently).
-                # Losers get FileNotFoundError and loop back to the acquire.
+                # Break the stale lock ATOMICALLY with inode verification:
+                # rename to a unique name (exactly one waiter wins; a bare
+                # unlink races — the slower of two breakers could delete a
+                # FRESH lock the faster one just created), then confirm the
+                # renamed file is STILL the stale one we observed. If a
+                # breaker stalls between stat and rename, it can move a
+                # fresh lock another waiter just created — in that case the
+                # renamed file's mtime is recent: restore it via link()
+                # (no-op if yet another lock appeared meanwhile) instead of
+                # deleting a live writer's mutex.
                 try:
                     broken = lock + f".broken.{uuid.uuid4().hex}"
                     os.rename(lock, broken)
+                    if time.time() - os.stat(broken).st_mtime <= stale_s:
+                        # stole a fresh lock — put it back if the slot is
+                        # still empty, then behave as an ordinary waiter
+                        try:
+                            os.link(broken, lock)
+                        except FileExistsError:
+                            pass
+                        os.unlink(broken)
+                        time.sleep(0.05)
+                        continue
                     os.unlink(broken)
                 except FileNotFoundError:
                     pass  # another waiter broke it first

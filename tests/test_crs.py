@@ -554,3 +554,30 @@ def test_lcc_wkt_catalog_through_collection_extent(spark):
     assert bbox[1] == pytest.approx(38.7545891461986)
     assert bbox[2] == pytest.approx(-40.00269171523382)
     assert bbox[3] == pytest.approx(53.94358296286908)
+
+
+def test_tm_wkt2_full_wgs84_datum_name_accepted():
+    # WKT2 spells the datum 'World Geodetic System 1984' (no TOWGS84
+    # entry exists in WKT2) — must route through the TM transform, not
+    # dead-letter (code-review r4 finding)
+    import numpy as np
+
+    wkt2 = """PROJCRS["WGS 84 / UTM zone 30N",
+        BASEGEOGCRS["WGS 84",
+            DATUM["World Geodetic System 1984",
+                ELLIPSOID["WGS 84",6378137,298.257223563,LENGTHUNIT["metre",1]]],
+            PRIMEM["Greenwich",0]],
+        CONVERSION["UTM zone 30N",
+            METHOD["Transverse Mercator"],
+            PARAMETER["Latitude of natural origin",0],
+            PARAMETER["Longitude of natural origin",-3],
+            PARAMETER["Scale factor at natural origin",0.9996],
+            PARAMETER["False easting",500000],
+            PARAMETER["False northing",0]],
+        CS[Cartesian,2],
+        AXIS["(E)",east], AXIS["(N)",north],
+        LENGTHUNIT["metre",1]]"""
+    lon, lat, _ = transform_to_wgs84(
+        np.array([500000.0]), np.array([4427757.2]), None, wkt2
+    )
+    assert abs(lon[0] - (-3.0)) < 1e-8 and abs(lat[0] - 40.0) < 1e-6
