@@ -114,8 +114,10 @@ def extract_page_fields(html: pd.Series) -> pd.DataFrame:
     blon = pd.to_numeric(_field(box, "blon"), errors="coerce")
     blat2 = pd.to_numeric(_field(box, "blat2"), errors="coerce")
     blon2 = pd.to_numeric(_field(box, "blon2"), errors="coerce")
-    lat = lat.where(lat.notna(), blat)
-    lon = lon.where(lon.notna(), blon)
+    # box wins when BOTH metas are present (mixing point-min with
+    # box-max can invert the bbox; mirrors operators/extract.py)
+    lat = blat.where(blat.notna(), lat)
+    lon = blon.where(blon.notna(), lon)
 
     out = pd.DataFrame(
         {

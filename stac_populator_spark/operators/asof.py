@@ -47,7 +47,11 @@ def asof_join(
     l = left.withColumn("_tag", F.lit(1)).withColumn("_ats", F.col(left_ts))
     r_cols = [key, right_ts] + [c for c in right_payload if c not in (key, right_ts)]
     r = (
-        right.select(*r_cols)
+        # a null right timestamp can never satisfy right_ts <= left_ts,
+        # but under asc null-ordering it would sort FIRST and its payload
+        # would carry forward to every left row — drop such rows up front
+        right.filter(F.col(right_ts).isNotNull())
+        .select(*r_cols)
         .withColumn("_tag", F.lit(0))
         .withColumn("_ats", F.col(right_ts))
     )

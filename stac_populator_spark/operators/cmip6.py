@@ -123,13 +123,16 @@ def cmip6_item_dict(attrs: dict) -> dict:
     links = []
     http = (attrs.get("access_urls") or {}).get("HTTPServer")
     if http:
-        marked = http.replace("fileServer", "*")
-        i = marked.find("*")
+        # title = the path after the 'fileServer/' segment; a URL without
+        # that segment yields a null title (same rule as
+        # extensions.magpie_source_link's regexp_extract — find()==-1 used
+        # to silently chop the URL's first char instead, r4 review)
+        i = http.find("fileServer/")
         links.append(
             {
                 "href": http,
                 "type": "application/x-netcdf",
-                "title": marked[i + 2:],
+                "title": http[i + len("fileServer/"):] if i != -1 else None,
                 "rel": "source",
             }
         )

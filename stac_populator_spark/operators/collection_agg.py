@@ -305,6 +305,10 @@ def merge_with_initial(initial: dict, agg_row) -> dict:
     string comparisons). ``agg_row`` = a Row from collection_extent.
     """
     agg_bbox = list(agg_row["bbox"]) if agg_row["bbox"] is not None else None
+    if agg_bbox is not None and any(v is None for v in agg_bbox):
+        # an all-geometry-less collection aggregates to [null,null,...] —
+        # truthy as a list, but min(float, None) would TypeError below
+        agg_bbox = None
     out_bbox = list(initial.get("bbox") or [])
     if not out_bbox:
         out_bbox = agg_bbox or []

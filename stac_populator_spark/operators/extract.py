@@ -100,8 +100,11 @@ def _extract_batch_arrow(batch: pa.RecordBatch) -> pa.RecordBatch:
     blon = _f64(pc.struct_field(box, "blon"))
     lat_max = _f64(pc.struct_field(box, "blat2"))
     lon_max = _f64(pc.struct_field(box, "blon2"))
-    lat_min = np.where(np.isnan(plat), blat, plat)
-    lon_min = np.where(np.isnan(plon), blon, plon)
+    # a page carrying BOTH metas takes the box wholesale — mixing the
+    # point's min corner with the box's max corner can invert the bbox
+    # (lat_min > lat_max has no antimeridian-style handling; r4 review)
+    lat_min = np.where(np.isnan(blat), plat, blat)
+    lon_min = np.where(np.isnan(blon), plon, blon)
     # point pages: degenerate bbox (min == max), like a 0-resolution dataset
     lat_max = np.where(np.isnan(lat_max), lat_min, lat_max)
     lon_max = np.where(np.isnan(lon_max), lon_min, lon_max)

@@ -247,19 +247,27 @@ def knn_join_salted(
         "cell", F.lit(True).alias("is_hot")
     )
 
+    # antimeridian ghosts on the candidate side, exactly like
+    # :func:`_ring_topk` — without them cross-seam neighbors are silently
+    # missed and the documented identity with knn_join breaks (r4 review)
+    e = edge_deg_at(res)
+    margin = 2.0 * e * (radius + 1)
     right = (
-        pts.join(F.broadcast(hot), "cell", "left")
+        _ghost_wrap(
+            pts.select(
+                F.col("id").alias("r_id"),
+                F.col("lon").alias("r_lon"),
+                F.col("lat").alias("r_lat"),
+            ),
+            margin_deg=margin,
+        )
+        .withColumn("cell", hex_cell_at_res(res)(F.col("r_lon_cell"), F.col("r_lat")))
+        .join(F.broadcast(hot), "cell", "left")
         .withColumn(
             "salt",
-            F.when(F.col("is_hot"), F.pmod(F.xxhash64("id"), F.lit(n_salts))).otherwise(F.lit(0)),
+            F.when(F.col("is_hot"), F.pmod(F.xxhash64("r_id"), F.lit(n_salts))).otherwise(F.lit(0)),
         )
-        .select(
-            F.col("id").alias("r_id"),
-            F.col("lon").alias("r_lon"),
-            F.col("lat").alias("r_lat"),
-            "cell",
-            "salt",
-        )
+        .select("r_id", "r_lon", "r_lat", "cell", "salt")
     )
     left = (
         pts.select(
@@ -278,11 +286,14 @@ def knn_join_salted(
             ),
         )
     )
-    pairs = (
-        left.join(right, ["cell", "salt"])
-        .filter(F.col("l_id") != F.col("r_id"))
-        .withColumn("dist_km", haversine_udf("l_lon", "l_lat", "r_lon", "r_lat"))
-    )
+    pairs = left.join(right, ["cell", "salt"]).filter(F.col("l_id") != F.col("r_id"))
+    # ghost+original dedup under the same condition as _ring_topk
+    ring_lon_span = 4.0 * e * (radius + 1)
+    if ring_lon_span + margin >= 360.0:
+        pairs = pairs.groupBy("l_id", "l_lon", "l_lat", "r_id", "r_lon", "r_lat").agg(
+            F.lit(1).alias("_one")
+        )
+    pairs = pairs.withColumn("dist_km", haversine_udf("l_lon", "l_lat", "r_lon", "r_lat"))
     w = Window.partitionBy("l_id").orderBy(F.col("dist_km").asc(), F.col("r_id").asc())
     return (
         pairs.withColumn("rank", F.row_number().over(w))

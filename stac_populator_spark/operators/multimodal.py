@@ -55,6 +55,7 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("kind", T.StringType()),
         T.StructField("n_bytes", T.LongType()),
         T.StructField("feature", T.ArrayType(T.FloatType())),  # 16-dim
+        T.StructField("decode_error", T.StringType()),  # dead-letter route
     ]
 )
 
@@ -255,28 +256,39 @@ def encode_wav(samples_i16: np.ndarray, sample_rate: int = 16000,
 def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     """media → 16-dim feature vectors via mapInPandas (the real batch
     shape a GPU/CPU feature extractor would see: one Arrow batch of
-    payloads in, one batch of float vectors out)."""
+    payloads in, one batch of float vectors out).
+
+    Per-row decode failures are ROUTED, never fatal (r4 review: one bad
+    payload must not abort the job): a failed row carries a null feature
+    and the error class/message in ``decode_error`` — the same
+    route-don't-drop contract as validate.py's dead-letter split."""
 
     def run(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            feats = []
+            feats, errs = [], []
             for payload, kind in zip(pdf["payload"], pdf["kind"]):
-                raw = (
-                    decode_image(payload, fake=fake)
-                    if kind == "image"
-                    else decode_audio(payload, fake=fake)
-                )
-                # 16 bucket-means — stand-in for an embedding model
-                f = raw[: (len(raw) // 16) * 16].reshape(16, -1).mean(axis=1)
-                feats.append((f / 255.0).astype(np.float32).tolist())
+                try:
+                    raw = (
+                        decode_image(payload, fake=fake)
+                        if kind == "image"
+                        else decode_audio(payload, fake=fake)
+                    )
+                    # 16 bucket-means — stand-in for an embedding model
+                    f = raw[: (len(raw) // 16) * 16].reshape(16, -1).mean(axis=1)
+                    feats.append((f / 255.0).astype(np.float32).tolist())
+                    errs.append(None)
+                except Exception as exc:  # noqa: BLE001 - dead-letter route
+                    feats.append(None)
+                    errs.append(f"{type(exc).__name__}: {str(exc)[:200]}")
             yield pd.DataFrame(
                 {
                     "url": pdf["url"],
                     "kind": pdf["kind"],
                     "n_bytes": pdf["payload"].map(lambda b: len(b) if b is not None else 0).astype("int64"),
                     "feature": feats,
+                    "decode_error": errs,
                 }
             )
 

@@ -154,7 +154,13 @@ def multires_cover_df(spark: SparkSession, footprints: pd.DataFrame,
             c["res"] = ri
             parts.append(c)
         fps = rest
-    cover = pd.concat(parts, ignore_index=True) if parts else footprint_cover_pdf(footprints)
+    if parts:
+        cover = pd.concat(parts, ignore_index=True)
+    else:
+        # empty footprints: the fallback cover lacks 'res' — add it so the
+        # astype below returns an empty typed frame instead of KeyError
+        cover = footprint_cover_pdf(footprints)
+        cover["res"] = pd.Series([], dtype="int32")
     schema = T.StructType(
         [
             T.StructField("cell_grid", T.LongType()),

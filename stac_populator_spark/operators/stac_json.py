@@ -4,7 +4,12 @@ Mirrors the reference's item serialization contract
 (/root/reference/STACpopulator/extensions/base.py:159-230 and golden file
 tests/data/stac_item_testdata_xclim_cmip6_ncml.json):
 
-- ``properties.datetime`` null ⇔ start/end present (populators.py:169-172)
+- ``properties.datetime`` null ⇔ start/end present (populators.py:169-172).
+  Deliberate serialization deviation: Spark's ``to_json`` drops null
+  fields, so a null datetime is represented by the KEY'S ABSENCE rather
+  than an explicit ``"datetime": null`` (strict STAC spells the null out;
+  consumers reading via ``.get("datetime")`` see identical semantics, and
+  the DuckDB oracle mirrors the key-absent form byte-exactly)
 - extension properties prefixed ``<prefix>:<field>`` except names containing
   'datetime' (extensions/base.py:100-105)
 - assets keyed by service type with href/type/roles

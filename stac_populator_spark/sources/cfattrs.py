@@ -201,9 +201,11 @@ def cf_items(df: DataFrame, json_col: str = "value", id_col: str | None = "path"
                 try:
                     doc = json.loads(r[json_col])
                     rows.append(parse_cf_document(doc, fallback_id=fallback))
-                except (json.JSONDecodeError, TypeError) as exc:
+                except (json.JSONDecodeError, TypeError, AttributeError) as exc:
                     # dead-letter contract: malformed documents are ROUTED,
-                    # never silently dropped (reference populators.py:268-274)
+                    # never silently dropped (reference populators.py:268-274).
+                    # AttributeError: valid JSON that is not an object
+                    # (list/int/string) — .get() on it must route too
                     row = {c: None for c in cols}
                     row["id"] = fallback
                     row["geo_error"] = f"malformed_cf_json: {str(exc)[:200]}"

@@ -27,7 +27,7 @@ import shutil
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -106,13 +106,29 @@ def merge_lock(table_path: str, timeout_s: float = 0.0, stale_s: float = 3600.0)
             pass
 
 
+def _dedup_keys(updates: DataFrame, key: str) -> DataFrame:
+    """Deterministic within-batch key dedup: the row sorting FIRST by the
+    remaining columns wins (dropDuplicates alone keeps an arbitrary
+    partition-order row — retries/speculation could flip the winner)."""
+    others = [c for c in updates.columns if c != key]
+    if not others:
+        return updates.dropDuplicates([key])
+    w = Window.partitionBy(key).orderBy(*[F.col(c).asc_nulls_last() for c in others])
+    return (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def merge_upsert(spark: SparkSession, table_path: str, updates: DataFrame,
                  key: str = "id", lock_timeout_s: float = 0.0) -> DataFrame:
     """Upsert ``updates`` into the parquet table at ``table_path`` keyed on
-    ``key``; duplicate keys inside ``updates`` are resolved first (smallest
-    key-order row wins deterministically via dropDuplicates after an
-    orderBy-free canonical pick)."""
-    updates = updates.dropDuplicates([key])
+    ``key``; duplicate keys inside ``updates`` are resolved first — the
+    row that sorts FIRST by the remaining columns wins (dropDuplicates
+    alone keeps an arbitrary partition-order row, so retries/speculation
+    could flip the winner — r4 review)."""
+    updates = _dedup_keys(updates, key)
     with merge_lock(table_path, timeout_s=lock_timeout_s):
         if os.path.exists(os.path.join(table_path, "_SUCCESS")):
             current = spark.read.parquet(table_path)
@@ -151,11 +167,11 @@ def merge_upsert_bucketed(spark: SparkSession, table_path: str, updates: DataFra
     shape.
 
     Within-batch duplicate keys are resolved deterministically before the
-    merge (smallest row by key order wins via dropDuplicates on a sorted
-    input is NOT deterministic — callers needing last-write-wins should
-    pre-reduce, as streaming.ingest.stream_items_upsert does).
+    merge — the row sorting first by the remaining columns wins (same
+    rule as :func:`merge_upsert`); callers needing last-write-wins should
+    pre-reduce, as streaming.ingest.stream_items_upsert does.
     """
-    updates = updates.dropDuplicates([key]).withColumn(
+    updates = _dedup_keys(updates, key).withColumn(
         "bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
     )
     touched = sorted(r["bucket"] for r in updates.select("bucket").distinct().collect())

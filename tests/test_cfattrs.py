@@ -97,3 +97,17 @@ def test_malformed_cf_json_routed_not_dropped(spark):
     assert len(rows) == 2  # nothing silently dropped
     assert rows["bad.json"]["geo_error"].startswith("malformed_cf_json")
     assert rows["ok.json"]["geo_error"] is None
+
+
+def test_cf_items_routes_non_object_json(spark):
+    # r4 review: valid JSON that is not an object ('[1,2]', '42') must
+    # dead-letter, not kill the task with AttributeError
+    import pandas as pd
+
+    from stac_populator_spark.sources.cfattrs import cf_items
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": ["l", "i"], "doc": ["[1,2]", "42"]})
+    )
+    rows = {r["id"]: r for r in cf_items(df, json_col="doc", id_col="id").collect()}
+    assert all("malformed_cf_json" in rows[k]["geo_error"] for k in ("l", "i"))

@@ -70,3 +70,33 @@ def test_id_and_datetime():
     out = _extract_batch(_page(html))
     assert out["id"][0] == "x.example__a__1.html"
     assert out["datetime"][0] == pd.Timestamp("2020-03-04T05:06:07")
+
+
+def test_page_with_both_position_and_box_takes_box(spark):
+    # r4 review: mixing the point's min corner with the box's max corner
+    # can yield lat_min > lat_max with no handling — the box wins wholesale
+    import pandas as pd
+
+    from stac_populator_spark.operators.extract import extract_items
+
+    html = (
+        '<html><head>'
+        '<meta name="geo.position" content="50.0;10.0">'
+        '<meta name="geo.box" content="20.0;5.0;30.0;15.0">'
+        '<title>both</title></head><body>x</body></html>'
+    )
+    pages = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["http://h/p"],
+                "warc_ts": pd.to_datetime(["2020-01-01"]),
+                "html": [html.encode()],
+                "text": [""],
+                "lang": ["en"],
+            }
+        )
+    )
+    row = extract_items(pages).collect()[0]
+    assert row["lat_min"] == 20.0 and row["lat_max"] == 30.0
+    assert row["lon_min"] == 5.0 and row["lon_max"] == 15.0
+    assert row["lat_min"] <= row["lat_max"]

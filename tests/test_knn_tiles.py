@@ -241,3 +241,29 @@ def test_knn_polar_cluster_rings_not_brute(spark):
     # to the brute remnant (the remnant's world points are the cost-model
     # break: remnant×total pairs under the 2e7 budget is cheaper as brute)
     assert stats["polar_proven"] == stats["polar_cap"] == n_polar
+
+
+def test_knn_salted_crosses_antimeridian_like_unsalted(spark):
+    # r4 review: knn_join_salted promised identity with knn_join but
+    # lacked the antimeridian ghost wrap — cross-seam neighbors were
+    # silently replaced by farther ones
+    import pandas as pd
+
+    from stac_populator_spark.operators.knn import knn_join, knn_join_salted
+
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": [1, 2, 3, 4],
+                "lon": [179.95, -179.95, 179.80, -179.80],
+                "lat": [10.0, 10.0, 10.1, 10.1],
+            }
+        )
+    )
+    key = lambda df: sorted((r["id"], r["rank"], r["neighbor_id"]) for r in df.collect())
+    a = key(knn_join(pts, k=2, res=2, radius=1))
+    b = key(knn_join_salted(pts, k=2, res=2, radius=1, hot_threshold=1))
+    assert a == b
+    # and the cross-seam pair is actually each other's nearest neighbor
+    nn = {(r[0], r[1]): r[2] for r in b}
+    assert nn[(1, 1)] == 2 and nn[(2, 1)] == 1

@@ -116,3 +116,30 @@ def test_compressed_decode_uses_wheel_when_present():
             decode_audio(ogg_magic)
     else:  # pragma: no cover
         assert decode_audio(ogg_magic) is not None
+
+
+def test_extract_features_routes_bad_payload(spark):
+    # r4 review: one undecodable payload must not abort the job — it
+    # carries a decode_error and a null feature instead
+    import pandas as pd
+
+    from stac_populator_spark.operators.multimodal import encode_ppm, extract_features
+
+    import numpy as np
+    good = encode_ppm(np.arange(64, dtype=np.uint8), 8, 8)
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "url": ["a", "b"],
+                "kind": ["image", "image"],
+                "payload": [good, b"\xff\xd8\xff JPEG-ish junk"],
+                "meta": [None, None],
+            }
+        ),
+        schema="url string, kind string, payload binary, "
+        "meta struct<width int, height int, sample_rate int, n_frames int>",
+    )
+    rows = {r["url"]: r for r in extract_features(media, fake=False).collect()}
+    assert rows["a"]["decode_error"] is None and len(rows["a"]["feature"]) == 16
+    assert rows["b"]["feature"] is None
+    assert "NotImplementedError" in rows["b"]["decode_error"]
