@@ -1708,7 +1708,41 @@ def _training_prep(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering is deliberate (driver samples the FIRST 50 keys): rotated
+    # each round so every query is driver-hash-checked within two
+    # consecutive rounds — round 5 leads with the 29 entries outside the
+    # round-4 sample (CORRECTNESS_r04.json), then the 50 it covered.
+    # tools/check_oracle.py replays all 79 under the same comparator.
     return {
+        "top_customer_per_nation": _top_customer_per_nation,
+        "events_daily": _events_daily,
+        "orders_semi": _orders_semi,
+        "customers_no_orders": _customers_no_orders,
+        "doc_points_tiles": _doc_points_tiles,
+        "tiles_footprints": _tiles_footprints,
+        "knn_docs_bruteforce": _knn_docs_bruteforce,
+        "dedup_exact": _dedup_exact,
+        "token_stats": _token_stats,
+        "quality_by_source": _quality_by_source,
+        "summaries_typed": _summaries_typed,
+        "lang_skew_counts": _lang_skew_counts,
+        "ann_cosine": _ann_cosine,
+        "top_terms": _top_terms,
+        "running_total": _running_total,
+        "lineitem_rollup": _lineitem_rollup,
+        "dead_letter_split": _dead_letter_split,
+        "stac_schema_split": _stac_schema_split,
+        "events_pivot": _events_pivot,
+        "tile_pyramid": _tile_pyramid,
+        "quantity_percentiles": _quantity_percentiles,
+        "approx_quantiles_check": _approx_quantiles_check,
+        "approx_distinct_check": _approx_distinct_check,
+        "segment_setops": _segment_setops,
+        "events_props_json": _events_props_json,
+        "doc_fingerprints": _doc_fingerprints,
+        "q2_cheapest_supplier": _q2_cheapest_supplier,
+        "q7_nation_volume": _q7_nation_volume,
+        "events_lag_delta": _events_lag_delta,
         "events_cube": _events_cube,
         "q18_large_orders": _q18_large_orders,
         "q19_disjunctive_revenue": _q19_disjunctive_revenue,
@@ -1759,35 +1793,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_topk_revenue": _q3_topk_revenue,
         "q5_nation_revenue": _q5_nation_revenue,
-        "top_customer_per_nation": _top_customer_per_nation,
-        "events_daily": _events_daily,
-        "orders_semi": _orders_semi,
-        "customers_no_orders": _customers_no_orders,
-        "doc_points_tiles": _doc_points_tiles,
-        "tiles_footprints": _tiles_footprints,
-        "knn_docs_bruteforce": _knn_docs_bruteforce,
-        "dedup_exact": _dedup_exact,
-        "token_stats": _token_stats,
-        "quality_by_source": _quality_by_source,
-        "summaries_typed": _summaries_typed,
-        "lang_skew_counts": _lang_skew_counts,
-        "ann_cosine": _ann_cosine,
-        "top_terms": _top_terms,
-        "running_total": _running_total,
-        "lineitem_rollup": _lineitem_rollup,
-        "dead_letter_split": _dead_letter_split,
-        "stac_schema_split": _stac_schema_split,
-        "events_pivot": _events_pivot,
-        "tile_pyramid": _tile_pyramid,
-        "quantity_percentiles": _quantity_percentiles,
-        "approx_quantiles_check": _approx_quantiles_check,
-        "approx_distinct_check": _approx_distinct_check,
-        "segment_setops": _segment_setops,
-        "events_props_json": _events_props_json,
-        "doc_fingerprints": _doc_fingerprints,
-        "q2_cheapest_supplier": _q2_cheapest_supplier,
-        "q7_nation_volume": _q7_nation_volume,
-        "events_lag_delta": _events_lag_delta,
     }
 
 

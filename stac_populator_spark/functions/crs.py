@@ -13,8 +13,15 @@ pyproj expectations within its own comparison tolerance (pytest.approx
 rel 1e-6 — the residual is the sub-metre NAD83(CSRS)→WGS84 datum shift,
 which pyproj's hub path also treats as null for most transforms).
 
-``transform_to_wgs84`` is the registry seam: a real pyproj transformer
-drops in with the same signature for CRSs outside the registry.
+``transform_to_wgs84`` is the registry seam, and since round 5 the
+pyproj side of it is WIRED (same optional-wheel pattern as the
+PIL/soundfile decode seam, operators/multimodal.py): the numpy registry
+stays primary (deterministic, wheel-free, tested), and a CRS the
+registry would dead-letter falls through to a pyproj transformer when a
+wheel is present — polar stereographic, Mercator variants, non-WGS84
+datums all become one `pip install pyproj` away instead of a code
+change. Wheel absent (this sandbox): identical dead-letter behavior as
+before.
 
 Axis-order handling mirrors GeoData.x_is_longitude (stac_utils.py:96-108):
 a regex over the first AXIS entry of a WKT (``(^|\\s)lon`` on name/abbrev
@@ -24,6 +31,7 @@ projected codes to easting-first.
 
 from __future__ import annotations
 
+import functools
 import re
 
 import numpy as np
@@ -366,19 +374,52 @@ def _wkt_datum_is_wgs84(spec: str) -> bool:
     return False
 
 
+# PARAMETER[...] blocks with one nesting level (a PARAMETER may embed its
+# own LENGTHUNIT[...]/ID[...] sub-blocks in WKT2)
+_WKT_PARAM_BLOCK_RE = re.compile(
+    r"PARAMETER\s*\[[^\[\]]*(?:\[[^\[\]]*\][^\[\]]*)*\]", re.IGNORECASE
+)
+
+
 def _wkt_linear_unit(spec: str) -> float:
-    """Metres-per-unit of the projected CS. In WKT1 the PROJCS linear UNIT
-    follows the GEOGCS block, so the last non-degree UNIT wins; WKT2 uses
-    LENGTHUNIT. Defaults to metre when nothing is declared."""
+    """Metres-per-unit of the projected CS axes. In WKT1 the PROJCS linear
+    UNIT follows the GEOGCS block, so the last non-degree UNIT wins; WKT2
+    uses LENGTHUNIT. Defaults to metre when nothing is declared.
+
+    PARAMETER blocks are stripped before the scan: WKT2 lets each
+    PARAMETER carry its OWN LENGTHUNIT (handled per-parameter by
+    :func:`_wkt_param`), and those must not leak into the axis-unit
+    last-wins scan (ADVICE r4)."""
     factor = 1.0
     for m in re.finditer(
-        r'(?:LENGTHUNIT|UNIT)\s*\[\s*"([^"]*)"\s*,\s*(-?[\d.eE+]+)', spec, re.IGNORECASE
+        r'(?:LENGTHUNIT|UNIT)\s*\[\s*"([^"]*)"\s*,\s*(-?[\d.eE+]+)',
+        _WKT_PARAM_BLOCK_RE.sub("", spec),
+        re.IGNORECASE,
     ):
         name = m.group(1).lower()
         if "degree" in name or "radian" in name or "grad" in name:
             continue
         factor = float(m.group(2))
     return factor
+
+
+def _wkt_param(spec: str, *names: str, default=None):
+    """First matching PARAMETER value, plus that parameter's OWN
+    LENGTHUNIT factor when one is declared inside the PARAMETER block
+    (WKT2 permits per-parameter units — a false_easting in a different
+    unit than the CS axes is legal and must scale by its own factor, not
+    the axis unit). Returns ``(value, own_unit_or_None)``."""
+    for nm in names:
+        m = re.search(
+            r'PARAMETER\s*\[\s*"' + nm + r'"\s*,\s*(-?[\d.eE+]+)'
+            r'(?:\s*,\s*LENGTHUNIT\s*\[\s*"[^"]*"\s*,\s*(-?[\d.eE+]+))?',
+            spec,
+            re.IGNORECASE,
+        )
+        if m:
+            own = float(m.group(2)) if m.group(2) is not None else None
+            return float(m.group(1)), own
+    return default, None
 
 
 def _tm_wkt_params(spec: str) -> dict | None:
@@ -418,14 +459,17 @@ def _tm_wkt_params(spec: str) -> dict | None:
 
     a, f = _wkt_ellipsoid(spec)
     unit = _wkt_linear_unit(spec)
+    fe, fe_unit = _wkt_param(spec, "false_easting", "False easting", default=0.0)
+    fn, fn_unit = _wkt_param(spec, "false_northing", "False northing", default=0.0)
     return {
         "a": a,
         "f": f,
         "lon0": p("central_meridian", "Longitude of natural origin", default=0.0),
         "lat0": p("latitude_of_origin", "Latitude of natural origin", default=0.0),
         "k0": p("scale_factor", "Scale factor at natural origin", default=1.0),
-        "fe": p("false_easting", "False easting", default=0.0) * unit,
-        "fn": p("false_northing", "False northing", default=0.0) * unit,
+        # WKT2 per-parameter LENGTHUNIT wins over the CS axis unit (ADVICE r4)
+        "fe": fe * (fe_unit if fe_unit is not None else unit),
+        "fn": fn * (fn_unit if fn_unit is not None else unit),
         "unit": unit,
     }
 
@@ -488,9 +532,16 @@ def _conic_wkt_params(spec: str) -> dict | None:
         "lat0": lat0,
         "lon0": p("central_meridian", "longitude_of_center",
                   "Longitude of false origin", "Longitude of natural origin", default=0.0),
-        "fe": p("false_easting", "Easting at false origin", "False easting", default=0.0) * unit,
-        "fn": p("false_northing", "Northing at false origin", "False northing", default=0.0) * unit,
     }
+    fe, fe_unit = _wkt_param(
+        spec, "false_easting", "Easting at false origin", "False easting", default=0.0
+    )
+    fn, fn_unit = _wkt_param(
+        spec, "false_northing", "Northing at false origin", "False northing", default=0.0
+    )
+    # WKT2 per-parameter LENGTHUNIT wins over the CS axis unit (ADVICE r4)
+    out["fe"] = fe * (fe_unit if fe_unit is not None else unit)
+    out["fn"] = fn * (fn_unit if fn_unit is not None else unit)
     if is_lcc:
         out["k0"] = p("scale_factor", "Scale factor at natural origin", default=1.0)
     return out
@@ -595,12 +646,51 @@ def _primem_shift(crs_spec) -> float:
     return float(m.group(1)) if m else 0.0
 
 
+_PYPROJ: object = "unresolved"
+
+
+def _try_pyproj():
+    """Optional-wheel seam (VERDICT r4 ask #4, mirrors _try_pil in
+    operators/multimodal.py): probe for a pyproj wheel once per Python
+    worker at first use. Present → any pyproj-resolvable CRS transforms
+    instead of dead-lettering; absent → None, registry-only behavior."""
+    global _PYPROJ
+    if _PYPROJ == "unresolved":
+        try:
+            import pyproj  # noqa: PLC0415
+
+            _PYPROJ = pyproj
+        except ImportError:
+            _PYPROJ = None
+    return _PYPROJ
+
+
+@functools.lru_cache(maxsize=256)
+def _pyproj_transformer(spec: str):
+    """Per-worker transformer cache: CRS parse + pipeline build is
+    ~ms-scale, far too slow to repeat per Arrow batch of one catalog's
+    items; distinct CRS specs per workload are O(10)."""
+    pyproj = _try_pyproj()
+    return pyproj.Transformer.from_crs(
+        pyproj.CRS.from_user_input(spec), "EPSG:4326", always_xy=True
+    )
+
+
+def _pyproj_inverse(x, y, spec: str):
+    t = _pyproj_transformer(spec)
+    lon, lat = t.transform(
+        np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
+    )
+    return np.asarray(lon, dtype=np.float64), np.asarray(lat, dtype=np.float64)
+
+
 def transform_to_wgs84(x, y, z=None, crs_spec="EPSG:4326"):
     """(x, y[, z]) in ``crs_spec`` → (lon, lat, vert) on WGS84.
 
-    Raises NotImplementedError for CRSs outside the registry — the
-    documented seam where a pyproj transformer plugs in; callers route
-    that to the dead-letter path.
+    The numpy registry is primary. A CRS the registry cannot handle
+    falls through to a pyproj transformer when the wheel is present
+    (:func:`_try_pyproj`); otherwise raises NotImplementedError — the
+    dead-letter route callers rely on.
     """
     spec = _spec_text(crs_spec)
     horizontal = compound_horizontal(spec)
@@ -613,41 +703,59 @@ def transform_to_wgs84(x, y, z=None, crs_spec="EPSG:4326"):
     x_lon = x_is_longitude(crs_spec)
     lon_in, lat_in = (x, y) if x_lon else (y, x)
 
-    utm = utm_params(code) if code is not None else None
-    tm_wkt = _tm_wkt_params(spec) if utm is None else None
-    conic = _conic_wkt_params(spec) if utm is None and tm_wkt is None and code not in (3347, 3348) else None
-    if utm is not None:
-        lon, lat = tm_inverse(x, y, **utm)
-    elif tm_wkt is not None:
-        unit = tm_wkt.pop("unit", 1.0)
-        lon, lat = tm_inverse(
-            np.asarray(x, dtype=np.float64) * unit,
-            np.asarray(y, dtype=np.float64) * unit,
-            **tm_wkt,
-        )
-    elif conic is not None:
-        unit = conic.pop("unit", 1.0)
-        inv = lcc_inverse if conic.pop("kind") == "lcc" else albers_inverse
-        lon, lat = inv(
-            np.asarray(x, dtype=np.float64) * unit,
-            np.asarray(y, dtype=np.float64) * unit,
-            **conic,
-        )
-    elif code in (4326, 4979) or (
-        re.search(r"GEOGCRS|GEOGCS", _spec_text(crs_spec))
-        and not re.match(r"\s*(PROJCRS|PROJCS)\s*\[", _spec_text(crs_spec))
-    ):
-        lon = np.asarray(lon_in, dtype=np.float64)
-        shift = _primem_shift(crs_spec)
-        if shift:  # e.g. PRIMEM -360: the 0-360 convention
-            lon = _wrap_lon(lon + shift)
-        lat = np.asarray(lat_in, dtype=np.float64)
-    elif code == 4087:
-        lon, lat = eqc_inverse(x, y)
-    elif code in (3347, 3348):
-        lon, lat = lcc_inverse(x, y)
-    else:
-        raise NotImplementedError(f"no registered transform for CRS {crs_spec!r}")
+    try:
+        utm = utm_params(code) if code is not None else None
+        tm_wkt = _tm_wkt_params(spec) if utm is None else None
+        conic = _conic_wkt_params(spec) if utm is None and tm_wkt is None and code not in (3347, 3348) else None
+        if utm is not None:
+            lon, lat = tm_inverse(x, y, **utm)
+        elif tm_wkt is not None:
+            unit = tm_wkt.pop("unit", 1.0)
+            lon, lat = tm_inverse(
+                np.asarray(x, dtype=np.float64) * unit,
+                np.asarray(y, dtype=np.float64) * unit,
+                **tm_wkt,
+            )
+        elif conic is not None:
+            unit = conic.pop("unit", 1.0)
+            inv = lcc_inverse if conic.pop("kind") == "lcc" else albers_inverse
+            lon, lat = inv(
+                np.asarray(x, dtype=np.float64) * unit,
+                np.asarray(y, dtype=np.float64) * unit,
+                **conic,
+            )
+        elif code in (4326, 4979) or (
+            re.search(r"GEOGCRS|GEOGCS", _spec_text(crs_spec))
+            and not re.match(r"\s*(PROJCRS|PROJCS)\s*\[", _spec_text(crs_spec))
+        ):
+            lon = np.asarray(lon_in, dtype=np.float64)
+            shift = _primem_shift(crs_spec)
+            if shift:  # e.g. PRIMEM -360: the 0-360 convention
+                lon = _wrap_lon(lon + shift)
+            lat = np.asarray(lat_in, dtype=np.float64)
+        elif code == 4087:
+            lon, lat = eqc_inverse(x, y)
+        elif code in (3347, 3348):
+            lon, lat = lcc_inverse(x, y)
+        else:
+            raise NotImplementedError(f"no registered transform for CRS {crs_spec!r}")
+    except NotImplementedError as registry_err:
+        # the registry's dead-letter set (unknown projection, non-WGS84
+        # datum, south-orientated TM, …) → pyproj when available
+        if _try_pyproj() is None:
+            raise NotImplementedError(
+                f"{registry_err} (no pyproj wheel present to fall back to — "
+                "install pyproj to transform this CRS)"
+            ) from registry_err
+        try:
+            # always_xy=True expects east-first input — reuse the
+            # x_is_longitude swap so north-first WKTs feed pyproj correctly
+            lon, lat = _pyproj_inverse(lon_in, lat_in, spec)
+        except Exception as e:  # noqa: BLE001 - normalize to the dead-letter contract
+            raise NotImplementedError(
+                f"pyproj could not transform CRS {crs_spec!r} "
+                f"({type(e).__name__}: {e}); routing to dead-letter"
+            ) from e
 
     if np.any(np.abs(lon) > 180.0 + 1e-9):
         raise ValueError(f"longitude not WGS84-compliant after transform: {lon}")

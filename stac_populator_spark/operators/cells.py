@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from ..functions.icosa import icosa_cell
+from ..functions.icosa import cell_hex
 from ..functions.s2 import s2_cell_id
 
 GRID_DEG = 4.0
@@ -55,7 +55,9 @@ def s2_cell_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
 
 @pandas_udf(T.LongType())
 def hex_cell_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
-    return pd.Series(icosa_cell(lon.to_numpy(), lat.to_numpy(), HEX_RES))
+    # cell_hex dispatches icosa (default) vs real Uber-H3 ids when the
+    # environment opted in (SPARK_GRAFT_HEX_BACKEND) and the wheel exists
+    return pd.Series(cell_hex(lon.to_numpy(), lat.to_numpy(), HEX_RES))
 
 
 @pandas_udf(T.LongType())
@@ -80,7 +82,7 @@ def all_cells_udf(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(
         {
             "s2": s2_cell_id(lo, la, S2_LEVEL),
-            "hex": icosa_cell(lo, la, HEX_RES),
+            "hex": cell_hex(lo, la, HEX_RES),
             "grid": grid_cell_np(lo, la),
         }
     )

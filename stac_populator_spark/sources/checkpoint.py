@@ -66,18 +66,70 @@ class CheckpointedPipeline:
     """Named-stage pipeline with skip-completed resume and per-stage
     row/byte metrics (the lineage ledger the north_rule asks for)."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, catalog: str | None = None):
+        """``catalog``: an Iceberg catalog name (e.g. ``graft`` from
+        session.get_spark's JAR seam). When given AND the runtime is
+        present, stage outputs are Iceberg tables
+        ``<catalog>.checkpoints.<stage>`` committed as real snapshots;
+        when given WITHOUT a runtime, raises at construction (loud, never
+        a silent downgrade); when None (default), the Parquet snapshot
+        contract below (VERDICT r4 ask #8)."""
         self.spark = spark
         self.manifest = StageManifest(root)
         self.root = root
+        self.catalog = catalog
+        if catalog is not None:
+            from .iceberg import iceberg_enabled  # noqa: PLC0415
+
+            if not iceberg_enabled(spark):
+                raise RuntimeError(
+                    f"CheckpointedPipeline(catalog={catalog!r}) needs an Iceberg "
+                    "runtime (set SPARK_GRAFT_ICEBERG_JAR + "
+                    "SPARK_GRAFT_ICEBERG_WAREHOUSE, or pass catalog=None for the "
+                    "Parquet snapshot contract)"
+                )
 
     def stage_path(self, stage: str) -> str:
         return os.path.join(self.root, stage)
+
+    def stage_table(self, stage: str) -> str:
+        return f"{self.catalog}.checkpoints.{stage}"
+
+    def _run_stage_iceberg(self, stage: str, build) -> DataFrame:
+        """Iceberg branch: replace-commit the stage table; the manifest
+        entry records the REAL snapshot id so resume skips exactly like
+        the Parquet branch (same ledger shape, tested by the
+        seam-parametrized contract tests)."""
+        from .iceberg import snapshot_ids  # noqa: PLC0415
+
+        table = self.stage_table(stage)
+        done = self.manifest.load()["stages"].get(stage)
+        if done and self.spark.catalog.tableExists(table):
+            return self.spark.table(table)
+        df: DataFrame = build()
+        t0 = time.time()
+        df.writeTo(table).createOrReplace()
+        wall_ms = int((time.time() - t0) * 1000)
+        out = self.spark.table(table)
+        self.manifest.commit_stage(
+            stage,
+            {
+                "snapshot_id": snapshot_ids(self.spark, table)[-1],
+                "path": table,
+                "rows": out.count(),
+                "bytes": None,
+                "wall_ms": wall_ms,
+                "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            },
+        )
+        return out
 
     def run_stage(self, stage: str, build, partition_by: tuple = ()) -> DataFrame:
         """Return the stage's output DataFrame, computing + committing it
         only if no committed snapshot exists. ``build()`` is called lazily —
         a resumed run never re-executes upstream work."""
+        if self.catalog is not None:
+            return self._run_stage_iceberg(stage, build)
         done = self.manifest.completed(stage)
         path = self.stage_path(stage)
         if done:

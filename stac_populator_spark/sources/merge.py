@@ -35,6 +35,16 @@ class ConcurrentMergeError(RuntimeError):
     """Another writer holds the table's merge lock."""
 
 
+def _lock_token(lock: str) -> str | None:
+    """The owner token recorded inside a lock file, or None if the file is
+    missing/unreadable/empty (mid-write by another acquirer)."""
+    try:
+        with open(lock, "rb") as fh:
+            return json.loads(fh.read().decode() or "{}").get("token")
+    except (FileNotFoundError, ValueError):
+        return None
+
+
 @contextlib.contextmanager
 def merge_lock(table_path: str, timeout_s: float = 0.0, stale_s: float = 3600.0):
     """Writer serialization for the MERGE paths: two interleaved upsert
@@ -51,11 +61,27 @@ def merge_lock(table_path: str, timeout_s: float = 0.0, stale_s: float = 3600.0)
     """
     os.makedirs(os.path.dirname(table_path) or ".", exist_ok=True)
     lock = table_path + "._merge.lock"
+    token = uuid.uuid4().hex
     deadline = time.monotonic() + timeout_s
+
+    def verify() -> None:
+        """Raise unless this context still owns the lock. Call immediately
+        before the commit/swap step: if a stale-breaker mistakenly removed
+        or replaced our lock (the rename/link window below), the loss of
+        mutual exclusion becomes an explicit ConcurrentMergeError instead
+        of a silently mixed table (ADVICE r4)."""
+        if _lock_token(lock) != token:
+            raise ConcurrentMergeError(
+                f"merge lock on {table_path} was broken by another writer "
+                "(owner token mismatch); aborting before commit"
+            )
+
     while True:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, json.dumps({"pid": os.getpid(), "ts": time.time()}).encode())
+            os.write(fd, json.dumps(
+                {"pid": os.getpid(), "ts": time.time(), "token": token}
+            ).encode())
             os.close(fd)
             break
         except FileExistsError:
@@ -64,22 +90,36 @@ def merge_lock(table_path: str, timeout_s: float = 0.0, stale_s: float = 3600.0)
             except FileNotFoundError:
                 continue  # holder just released — retry acquire
             if age > stale_s:
-                # Break the stale lock ATOMICALLY with inode verification:
-                # rename to a unique name (exactly one waiter wins; a bare
-                # unlink races — the slower of two breakers could delete a
-                # FRESH lock the faster one just created), then confirm the
-                # renamed file is STILL the stale one we observed. If a
-                # breaker stalls between stat and rename, it can move a
-                # fresh lock another waiter just created — in that case the
-                # renamed file's mtime is recent: restore it via link()
-                # (no-op if yet another lock appeared meanwhile) instead of
-                # deleting a live writer's mutex.
+                # Break the stale lock ATOMICALLY: record the stale lock's
+                # owner token, rename to a unique name (exactly one waiter
+                # wins; a bare unlink races), then verify the renamed file
+                # still carries the token we observed. If a breaker stalled
+                # between stat and rename it can move a FRESH lock another
+                # waiter just created — the token mismatch detects that and
+                # we restore via link(). The restore itself can lose a race
+                # (a third waiter grabs the empty slot first → link raises
+                # FileExistsError and the displaced fresh lock cannot go
+                # back); that residual window is made SAFE rather than
+                # silent by ownership tokens: the displaced holder's
+                # verify()-before-commit and token-checked release both
+                # detect the loss, so no writer ever commits without the
+                # lock and no release ever unlinks a third party's lock
+                # (ADVICE r4).
+                observed = _lock_token(lock)
                 try:
                     broken = lock + f".broken.{uuid.uuid4().hex}"
                     os.rename(lock, broken)
-                    if time.time() - os.stat(broken).st_mtime <= stale_s:
-                        # stole a fresh lock — put it back if the slot is
-                        # still empty, then behave as an ordinary waiter
+                    # tokenless lock (writer died between open and write):
+                    # fall back to mtime staleness of the renamed file
+                    still_stale = (
+                        _lock_token(broken) == observed
+                        if observed is not None
+                        else time.time() - os.stat(broken).st_mtime > stale_s
+                    )
+                    if not still_stale:
+                        # renamed a lock that changed under us (fresh
+                        # holder) — put it back if the slot is still empty,
+                        # then behave as an ordinary waiter
                         try:
                             os.link(broken, lock)
                         except FileExistsError:
@@ -98,22 +138,67 @@ def merge_lock(table_path: str, timeout_s: float = 0.0, stale_s: float = 3600.0)
                 ) from None
             time.sleep(0.05)
     try:
-        yield
+        yield verify
     finally:
-        try:
-            os.unlink(lock)
-        except FileNotFoundError:
-            pass
+        # release ONLY our own lock — if a breaker displaced it, the slot
+        # may now hold a third party's mutex which must survive
+        if _lock_token(lock) == token:
+            try:
+                os.unlink(lock)
+            except FileNotFoundError:
+                pass
+
+
+def _orderable(dtype) -> bool:
+    """Whether a Spark type participates in ORDER BY: MapType never does;
+    arrays/structs only when their element/field types all do."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.MapType):
+        return False
+    if isinstance(dtype, T.ArrayType):
+        return _orderable(dtype.elementType)
+    if isinstance(dtype, T.StructType):
+        return all(_orderable(f.dataType) for f in dtype.fields)
+    return True
 
 
 def _dedup_keys(updates: DataFrame, key: str) -> DataFrame:
     """Deterministic within-batch key dedup: the row sorting FIRST by the
     remaining columns wins (dropDuplicates alone keeps an arbitrary
-    partition-order row — retries/speculation could flip the winner)."""
-    others = [c for c in updates.columns if c != key]
+    partition-order row — retries/speculation could flip the winner).
+
+    Non-orderable columns (MapType — STAC asset/access-url frames carry
+    them) sort by their canonical JSON rendering (map keys sorted first,
+    so equal maps compare equal regardless of physical entry order)
+    rather than raising AnalysisException (ADVICE r4); if NO column is
+    orderable even via JSON, fall back to dropDuplicates."""
+    others = [f for f in updates.schema.fields if f.name != key]
     if not others:
         return updates.dropDuplicates([key])
-    w = Window.partitionBy(key).orderBy(*[F.col(c).asc_nulls_last() for c in others])
+
+    def sort_key(f):
+        if _orderable(f.dataType):
+            return F.col(f.name).asc_nulls_last()
+        from pyspark.sql import types as T
+
+        if (
+            isinstance(f.dataType, T.MapType)
+            and _orderable(f.dataType.keyType)
+            and _orderable(f.dataType.valueType)
+        ):
+            # canonicalize entry order before JSON so equal maps tie
+            # (sort_array needs the entry struct orderable — map-of-map
+            # values skip this column instead)
+            return F.to_json(
+                F.map_from_entries(F.sort_array(F.map_entries(F.col(f.name))))
+            ).asc_nulls_last()
+        return None
+
+    keys = [k for k in (sort_key(f) for f in others) if k is not None]
+    if not keys:
+        return updates.dropDuplicates([key])
+    w = Window.partitionBy(key).orderBy(*keys)
     return (
         updates.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -123,13 +208,31 @@ def _dedup_keys(updates: DataFrame, key: str) -> DataFrame:
 
 def merge_upsert(spark: SparkSession, table_path: str, updates: DataFrame,
                  key: str = "id", lock_timeout_s: float = 0.0) -> DataFrame:
-    """Upsert ``updates`` into the parquet table at ``table_path`` keyed on
+    """Upsert ``updates`` into the table at ``table_path`` keyed on
     ``key``; duplicate keys inside ``updates`` are resolved first — the
     row that sorts FIRST by the remaining columns wins (dropDuplicates
     alone keeps an arbitrary partition-order row, so retries/speculation
-    could flip the winner — r4 review)."""
+    could flip the winner — r4 review).
+
+    ``table_path`` may be a catalog identifier (``cat.db.items``): with
+    an Iceberg runtime on the classpath that routes to a real atomic
+    ``MERGE INTO`` (sources.iceberg seam, VERDICT r4 ask #8); without
+    one it fails loudly — an identifier is never treated as a relative
+    filesystem path, which would silently create a misnamed directory."""
+    from .iceberg import iceberg_enabled, looks_like_table_ident, merge_into
+
+    if looks_like_table_ident(table_path):
+        if not iceberg_enabled(spark):
+            raise RuntimeError(
+                f"{table_path!r} is a catalog table identifier but this session has "
+                "no Iceberg runtime (set SPARK_GRAFT_ICEBERG_JAR + "
+                "SPARK_GRAFT_ICEBERG_WAREHOUSE, or pass a filesystem path for the "
+                "Parquet merge contract)"
+            )
+        return merge_into(spark, table_path, _dedup_keys(updates, key), key)
+
     updates = _dedup_keys(updates, key)
-    with merge_lock(table_path, timeout_s=lock_timeout_s):
+    with merge_lock(table_path, timeout_s=lock_timeout_s) as verify:
         if os.path.exists(os.path.join(table_path, "_SUCCESS")):
             current = spark.read.parquet(table_path)
             kept = current.join(updates.select(key), key, "left_anti")
@@ -139,6 +242,7 @@ def merge_upsert(spark: SparkSession, table_path: str, updates: DataFrame,
 
         tmp = table_path + f"._tmp.{uuid.uuid4().hex}"
         merged.write.mode("overwrite").parquet(tmp)
+        verify()  # still own the lock? abort BEFORE the visible swap
         if os.path.exists(table_path):
             old = table_path + f"._old.{uuid.uuid4().hex}"
             os.replace(table_path, old)
@@ -175,7 +279,7 @@ def merge_upsert_bucketed(spark: SparkSession, table_path: str, updates: DataFra
         "bucket", F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
     )
     touched = sorted(r["bucket"] for r in updates.select("bucket").distinct().collect())
-    with merge_lock(table_path, timeout_s=lock_timeout_s):
+    with merge_lock(table_path, timeout_s=lock_timeout_s) as verify:
         # layout detection goes by bucket= partition directories ONLY — a
         # _SUCCESS marker also exists on flat (non-bucketed) merge_upsert
         # tables, whose schema has no bucket column; merging the two
@@ -195,6 +299,7 @@ def merge_upsert_bucketed(spark: SparkSession, table_path: str, updates: DataFra
             merged = kept.unionByName(updates, allowMissingColumns=False)
         else:
             merged = updates
+        verify()  # still own the lock? abort BEFORE the visible overwrite
         (
             merged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

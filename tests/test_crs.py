@@ -581,3 +581,182 @@ def test_tm_wkt2_full_wgs84_datum_name_accepted():
         np.array([500000.0]), np.array([4427757.2]), None, wkt2
     )
     assert abs(lon[0] - (-3.0)) < 1e-8 and abs(lat[0] - 40.0) < 1e-6
+
+
+def test_wkt2_per_parameter_lengthunit_scales_fe_independently():
+    # ADVICE r4: WKT2 lets each PARAMETER carry its OWN LENGTHUNIT. A CS
+    # in metres with a false_easting declared in US survey feet must scale
+    # fe by the foot factor while x/y stay metre-scaled — and the
+    # PARAMETER-embedded unit must NOT leak into the axis-unit scan.
+    import numpy as np
+
+    from stac_populator_spark.functions.crs import (
+        _tm_wkt_params,
+        _wkt_linear_unit,
+        tm_forward,
+        transform_to_wgs84,
+    )
+
+    ft = 0.30480060960121924
+    wkt2 = """PROJCRS["WGS 84 / mixed-unit TM",
+        BASEGEOGCRS["WGS 84",
+            DATUM["World Geodetic System 1984",
+                ELLIPSOID["WGS 84",6378137,298.257223563,LENGTHUNIT["metre",1]]],
+            PRIMEM["Greenwich",0]],
+        CONVERSION["TM mixed units",
+            METHOD["Transverse Mercator"],
+            PARAMETER["Latitude of natural origin",0],
+            PARAMETER["Longitude of natural origin",-75],
+            PARAMETER["Scale factor at natural origin",0.9996],
+            PARAMETER["False easting",1640416.666666667,
+                LENGTHUNIT["US survey foot",0.30480060960121924]],
+            PARAMETER["False northing",0]],
+        CS[Cartesian,2],
+        AXIS["(E)",east], AXIS["(N)",north],
+        LENGTHUNIT["metre",1]]"""
+    assert _wkt_linear_unit(wkt2) == 1.0  # axis unit untouched by the PARAMETER's foot
+    params = _tm_wkt_params(wkt2)
+    assert abs(params["fe"] - 1640416.666666667 * ft) < 1e-6  # = 500000 m
+    assert params["unit"] == 1.0
+
+    # end-to-end: x/y in metres, fe in feet → WGS84 roundtrip
+    lon_true, lat_true = -74.0, 40.7
+    x_m, y_m = tm_forward(
+        np.array([lon_true]), np.array([lat_true]),
+        a=6378137.0, f=1.0 / 298.257223563, lon0=-75.0, lat0=0.0, k0=0.9996,
+        fe=1640416.666666667 * ft, fn=0.0,
+    )
+    lon, lat, _ = transform_to_wgs84(x_m, y_m, crs_spec=wkt2)
+    assert abs(lon[0] - lon_true) < 1e-8
+    assert abs(lat[0] - lat_true) < 1e-8
+
+
+def test_wkt1_foot_axis_unit_still_scales_fe_when_no_parameter_unit():
+    # regression guard for the fix above: WKT1 has no per-parameter units;
+    # fe declared in the CS axis unit (feet) must still scale by it
+    from stac_populator_spark.functions.crs import _tm_wkt_params
+
+    ft = 0.30480060960121924
+    params = _tm_wkt_params(_FOOT_TM_WKT)
+    assert abs(params["fe"] - 1640416.666666667 * ft) < 1e-6
+    assert abs(params["unit"] - ft) < 1e-15
+
+
+# --- pyproj optional-wheel seam (VERDICT r4 ask #4) ----------------------
+
+_POLAR_STEREO_WKT = """PROJCS["WGS 84 / Antarctic Polar Stereographic",
+    GEOGCS["WGS 84", DATUM["WGS_1984",
+        SPHEROID["WGS 84",6378137,298.257223563]],
+        PRIMEM["Greenwich",0], UNIT["degree",0.0174532925199433]],
+    PROJECTION["Polar_Stereographic"],
+    PARAMETER["latitude_of_origin",-71],
+    PARAMETER["central_meridian",0],
+    PARAMETER["false_easting",0],
+    PARAMETER["false_northing",0],
+    UNIT["metre",1]]"""
+
+
+class _FakePlateCarreeTransformer:
+    calls = 0
+
+    def transform(self, x, y):
+        import numpy as np
+
+        from stac_populator_spark.functions.crs import DEG_M
+
+        _FakePlateCarreeTransformer.calls += 1
+        return np.asarray(x) / DEG_M, np.asarray(y) / DEG_M
+
+
+class _FakePyproj:
+    class CRS:
+        @staticmethod
+        def from_user_input(spec):
+            return spec
+
+    class Transformer:
+        @staticmethod
+        def from_crs(src, dst, always_xy=False):
+            assert always_xy and dst == "EPSG:4326"
+            return _FakePlateCarreeTransformer()
+
+
+def test_pyproj_seam_absent_branch_dead_letters_with_install_hint():
+    # this sandbox has no pyproj wheel: out-of-registry CRSs must keep
+    # dead-lettering, and the error must name the wheel that would fix it
+    import numpy as np
+    import pytest
+
+    from stac_populator_spark.functions import crs
+
+    if crs._try_pyproj() is not None:
+        pytest.skip("pyproj wheel present — absent branch not reachable")
+    with pytest.raises(NotImplementedError, match="pyproj"):
+        crs.transform_to_wgs84(
+            np.array([0.0]), np.array([1000.0]), crs_spec=_POLAR_STEREO_WKT
+        )
+
+
+def test_pyproj_seam_present_branch_transforms_dead_letter_crs(monkeypatch):
+    # wheel "installed" (fake module): a CRS the registry dead-letters now
+    # transforms through Transformer.from_crs(..., always_xy=True)
+    import numpy as np
+
+    from stac_populator_spark.functions import crs
+
+    monkeypatch.setattr(crs, "_PYPROJ", _FakePyproj)
+    crs._pyproj_transformer.cache_clear()
+    try:
+        lon, lat, _ = crs.transform_to_wgs84(
+            np.array([crs.DEG_M * 10.0]), np.array([crs.DEG_M * 45.0]),
+            crs_spec=_POLAR_STEREO_WKT,
+        )
+        assert abs(lon[0] - 10.0) < 1e-9 and abs(lat[0] - 45.0) < 1e-9
+    finally:
+        crs._pyproj_transformer.cache_clear()
+
+
+def test_pyproj_present_registry_stays_primary(monkeypatch):
+    # registered CRSs must NOT route through pyproj even when the wheel
+    # exists — the numpy registry is deterministic and already validated
+    import numpy as np
+
+    from stac_populator_spark.functions import crs
+
+    monkeypatch.setattr(crs, "_PYPROJ", _FakePyproj)
+    crs._pyproj_transformer.cache_clear()
+    before = _FakePlateCarreeTransformer.calls
+    try:
+        lon, lat, _ = crs.transform_to_wgs84(
+            np.array([500000.0]), np.array([4427757.2]), crs_spec="EPSG:32633"
+        )
+        assert _FakePlateCarreeTransformer.calls == before  # untouched
+        assert abs(lat[0] - 40.0) < 1e-6
+    finally:
+        crs._pyproj_transformer.cache_clear()
+
+
+def test_pyproj_parity_on_registry_families():
+    # with a REAL wheel: registry-vs-pyproj parity on the covered families
+    # (runs wherever pyproj is installed; documents the contract here)
+    import numpy as np
+    import pytest
+
+    from stac_populator_spark.functions import crs
+
+    pp = crs._try_pyproj()
+    if pp is None:
+        pytest.skip("no pyproj wheel in this environment")
+    cases = [
+        ("EPSG:32633", np.array([500000.0, 350000.0]), np.array([4427757.2, 5000000.0])),
+        ("EPSG:3348", np.array([7000000.0]), np.array([1500000.0])),
+        ("EPSG:4087", np.array([1113194.9]), np.array([2226389.8])),
+    ]
+    for spec, x, y in cases:
+        lon_r, lat_r, _ = crs.transform_to_wgs84(x, y, crs_spec=spec)
+        t = pp.Transformer.from_crs(
+            pp.CRS.from_user_input(spec), "EPSG:4326", always_xy=True
+        )
+        lon_p, lat_p = t.transform(x, y)
+        np.testing.assert_allclose(lon_r, lon_p, atol=1e-6)
+        np.testing.assert_allclose(lat_r, lat_p, atol=1e-6)

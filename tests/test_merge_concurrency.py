@@ -112,3 +112,45 @@ def test_stale_break_is_atomic_single_winner(tmp_path):
     assert len(inside) == 8  # everyone eventually acquired
     assert all(m is None for m in overlap)  # never two concurrent holders
     assert not os.path.exists(lock)
+
+
+def test_release_never_unlinks_third_party_lock(tmp_path):
+    # ADVICE r4: if a stale-breaker displaced our lock and a third party
+    # now holds the slot, our release must leave their lock alone and our
+    # verify() must refuse the commit.
+    import json
+    import os
+
+    t = str(tmp_path / "items")
+    os.makedirs(t, exist_ok=True)
+    lock = t + "._merge.lock"
+    with merge_lock(t) as verify:
+        verify()  # sane while held
+        # simulate the displacement: our lock vanishes, a third party's
+        # token appears in the slot
+        os.unlink(lock)
+        open(lock, "w").write(json.dumps({"pid": 0, "ts": time.time(), "token": "them"}))
+        with pytest.raises(ConcurrentMergeError, match="token"):
+            verify()
+    # release did NOT remove the third party's lock
+    assert os.path.exists(lock)
+    import json as _json
+
+    assert _json.load(open(lock))["token"] == "them"
+    os.unlink(lock)
+
+
+def test_tokenless_stale_lock_still_breaks(tmp_path):
+    # a writer that died between open() and write() leaves an EMPTY lock;
+    # the token-verified break must still clear it via the mtime fallback
+    import os
+
+    t = str(tmp_path / "items")
+    os.makedirs(t, exist_ok=True)
+    lock = t + "._merge.lock"
+    open(lock, "w").close()  # zero bytes, no token
+    old = time.time() - 7200
+    os.utime(lock, (old, old))
+    with merge_lock(t, timeout_s=5.0) as verify:
+        verify()
+    assert not os.path.exists(lock)

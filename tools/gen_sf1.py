@@ -88,15 +88,23 @@ def gen_embeddings(n: int = N_VECS) -> pa.Table:
     )
 
 
-def main(out_dir: str = "/root/repo/benchdata/sf1", src_dims: str = "/root/testdata/sf0.1"):
+def main(out_dir: str = "/root/repo/benchdata/sf1", src_dims: str = "/root/testdata/sf0.1",
+         n_docs: str | int = N_DOCS, n_vecs: str | int = N_VECS):
+    """Extra args scale the two big tables — e.g. the sf10 probe
+    (tools/stress_sf10.py) generates 500k docs / 200k vectors with the
+    identical distribution shape and plant cadence:
+
+        python tools/gen_sf1.py benchdata/sf10 /root/testdata/sf0.1 500000 200000
+    """
+    n_docs, n_vecs = int(n_docs), int(n_vecs)
     os.makedirs(out_dir, exist_ok=True)
-    pq.write_table(gen_documents(), os.path.join(out_dir, "documents.parquet"))
-    pq.write_table(gen_embeddings(), os.path.join(out_dir, "embeddings.parquet"))
+    pq.write_table(gen_documents(n_docs), os.path.join(out_dir, "documents.parquet"))
+    pq.write_table(gen_embeddings(n_vecs), os.path.join(out_dir, "embeddings.parquet"))
     for dim in ("region", "nation", "part", "customer", "supplier"):
         src = os.path.join(src_dims, f"{dim}.parquet")
         if os.path.exists(src):
             shutil.copy(src, os.path.join(out_dir, f"{dim}.parquet"))
-    print(f"sf1-equivalent data at {out_dir}: documents={N_DOCS} embeddings={N_VECS}")
+    print(f"scaled data at {out_dir}: documents={n_docs} embeddings={n_vecs}")
 
 
 if __name__ == "__main__":
