@@ -923,14 +923,22 @@ def _minhash_neardup(spark, sf_dir):
 def _simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs over md5-bit signatures (cross-engine
     verifiable — DuckDB mirrors the exact bit arithmetic); the banded
-    candidate join is pigeonhole-exact for hamming ≤ 3, so the result must
-    equal the oracle's brute-force all-pairs Hamming scan. The xxhash64
-    signature variant stays the fast default (pytest-pinned)."""
-    from stac_populator_spark.operators.dedup import simhash_candidates, simhash_signature_md5
+    candidate join is pigeonhole-exact for hamming ≤ 3 at EVERY block
+    count, so the result must equal the oracle's brute-force all-pairs
+    Hamming scan regardless of the corpus-size-adaptive block choice
+    (choose_simhash_blocks: the raw-table count is parquet-metadata
+    cheap; small corpus → 4 wide bands, 10^12 rows → 20 narrow ones).
+    The xxhash64 signature variant stays the fast default
+    (pytest-pinned)."""
+    from stac_populator_spark.operators.dedup import (
+        choose_simhash_blocks, simhash_candidates, simhash_signature_md5,
+    )
 
     d = _t(spark, sf_dir, "documents")
     sigs = simhash_signature_md5(d)
-    return simhash_candidates(sigs, max_hamming=3)
+    return simhash_candidates(
+        sigs, max_hamming=3, n_blocks=choose_simhash_blocks(d.count())
+    )
 
 
 def _knn_exact_docs(spark, sf_dir):

@@ -11,8 +11,10 @@ dedup at 10^12 rows:
   aggregation → band buckets (hot-bucket capped) → bucket-local join
   (candidates ≪ n²) → exact Jaccard verify → group expansion
 - SimHash: token explode → per-bit weighted sums → 64-bit signature →
-  identical-signature collapse → 3-of-6-block ~32-bit band buckets
-  (exact for hamming ≤ 3, capped) → Hamming verify → group expansion
+  identical-signature collapse → pigeonhole block-combination band
+  buckets (exact for hamming ≤ max_hamming at ANY block count ≥
+  max_hamming+1; block count chosen from corpus size — see
+  :func:`choose_simhash_blocks`) → Hamming verify → group expansion
 - n-gram Jaccard: array_intersect/array_union on token shingle arrays
 """
 
@@ -164,7 +166,15 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
     pair's jaccard (byte-identical text ⇒ identical shingle sets). The
     expansion output is quadratic only where the TRUE answer is quadratic;
     no intermediate shuffle is.
+
+    The input (typically a raw table scan) is widened first when
+    under-partitioned (:func:`skew.ensure_parallelism`): the collapse
+    aggregate's map side hashes every text byte, and a single-row-group
+    parquet source would run that in one task.
     """
+    from .skew import ensure_parallelism
+
+    df = ensure_parallelism(df)
     th = F.md5(F.col(text_col).cast("binary"))
     # ONE map-side-combined aggregate carries everything downstream needs:
     # the representative, the full (sorted) member-id list, and the
@@ -265,8 +275,14 @@ def simhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_
                       bits: int = 64) -> DataFrame:
     """(id, simhash): per-bit majority over token hashes, assembled into a
     64-bit bigint — entirely higher-order array expressions (ZERO
-    exchange: no explode, no groupBy; same values as the former
-    explode+sum formulation since sum(±1) > 0 ⟺ 2·count(bit=1) > n)."""
+    per-doc shuffle: no explode, no groupBy; same values as the former
+    explode+sum formulation since sum(±1) > 0 ⟺ 2·count(bit=1) > n).
+    The interpreted aggregate passes cost ~1 ms/doc, so an
+    under-partitioned (single-row-group) source is widened first —
+    :func:`skew.ensure_parallelism`; call on scan-stage frames only."""
+    from .skew import ensure_parallelism
+
+    df = ensure_parallelism(df)
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     out = df.select(
         F.col(id_col),
@@ -318,7 +334,11 @@ def simhash_signature_md5(df: DataFrame, text_col: str = "text",
     (Spark-only). Bit i of a token = bit (3 − i%4) of hex digit i//4.
     Same per-bit ±1 majority and 64-bit assembly as
     :func:`simhash_signature`; used by the driver oracle, where DuckDB
-    mirrors the exact same arithmetic."""
+    mirrors the exact same arithmetic. Same source widening as the
+    xxhash variant (the md5+conv packing is even heavier per doc)."""
+    from .skew import ensure_parallelism
+
+    df = ensure_parallelism(df)
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     # the first four 16-bit chunks of the md5 hex digest, packed into ONE
     # long per token (conv beats 16 per-digit instr lookups); bit i of the
@@ -371,18 +391,51 @@ def simhash_signature_md5(df: DataFrame, text_col: str = "text",
     return out.select(F.col(id_col), sig.alias("simhash"))
 
 
+def choose_simhash_blocks(n_rows: int, max_hamming: int = 3,
+                          bucket_cap: int = BUCKET_CAP) -> int:
+    """The cheapest scale-safe block count for :func:`simhash_candidates`.
+
+    Candidate generation is pigeonhole-exact at ANY block count
+    n > max_hamming (band = a combination of n − max_hamming blocks), but
+    the two scale knobs pull in opposite directions:
+
+    - band count C(n, max_hamming) — rows through the explode+exchange —
+      GROWS with n (h=3: n=4 → 4 bands, n=5 → 10, n=6 → 20);
+    - band key width ~64·(n−h)/n bits — bucket-collision space — SHRINKS
+      with n (h=3: n=4 → 16-bit keys, n=5 → ~24, n=6 → ~32).
+
+    Pick the smallest n whose expected bucket occupancy
+    ``n_rows / 2^key_bits`` stays ≤ bucket_cap/4 — far below the
+    hot-bucket cap, so capping (a recall trade) stays a skew safety net
+    rather than the common case. Conservative key width: the NARROWEST
+    combo, ``floor(64/n)·(n−h)`` bits. For h=3, cap=256 the thresholds
+    are: ≤4.2M rows → 4 blocks (Manku et al.'s WWW'07 table scheme),
+    ≤1.1e9 → 5, else 6 (the 10^12-row regime). Callers with a cheap row
+    count (parquet metadata) should pass it through; ``n_blocks=None``
+    keeps the scale-safe 6-block default."""
+    for n in range(max_hamming + 1, 6):
+        key_bits = (64 // n) * (n - max_hamming)
+        if n_rows <= (bucket_cap // 4) << key_bits:
+            return n
+    return 6
+
+
 def simhash_candidates(sigs: DataFrame, id_col: str = "doc_id",
-                       max_hamming: int = 3, bucket_cap: int = BUCKET_CAP) -> DataFrame:
+                       max_hamming: int = 3, bucket_cap: int = BUCKET_CAP,
+                       n_blocks: int | None = None) -> DataFrame:
     """SimHash near-dup pairs with scale-safe candidate generation.
 
     Banding (Manku et al., WWW'07 block-permutation idea, public): split
-    the 64-bit signature into 6 blocks (11/11/11/11/10/10 bits) and key
-    candidates on every C(6,3)=20 combination of 3 blocks (~32-bit keys).
-    Pigeonhole: hamming ≤ 3 flips bits in at most 3 blocks, so ≥ 3 blocks
-    are clean and that combination's key matches — candidate generation
-    stays EXACT for hamming ≤ max_hamming while per-band bucket space
-    grows from 2^16 (round-1 chunks: ~1.5e7 docs/bucket at 10^12 rows —
-    quadratic blowup) to ~2^32. For max_hamming > 5 the scheme degrades
+    the 64-bit signature into ``n_blocks`` near-equal blocks and key
+    candidates on every combination of ``n_blocks − max_hamming`` blocks.
+    Pigeonhole: hamming ≤ max_hamming flips bits in at most max_hamming
+    blocks, so ≥ n_blocks − max_hamming blocks are clean and that
+    combination's key matches — candidate generation is EXACT for every
+    block count > max_hamming; the choice only moves the band-count vs
+    key-width tradeoff (see :func:`choose_simhash_blocks`, which maps a
+    corpus row count to the cheapest safe n). Default n_blocks=None = 6
+    (h=3: C(6,3)=20 bands, ~32-bit keys — safe through ~10^11 rows
+    without leaning on the bucket cap); for max_hamming > 5 it degrades
     to max_hamming+1 single-block bands (debug/small-scale mode).
 
     Identical signatures are collapsed to one representative before
@@ -391,12 +444,14 @@ def simhash_candidates(sigs: DataFrame, id_col: str = "doc_id",
     ``bucket_cap`` representatives (every member still pairs with the
     representatives — see :func:`minhash_candidates` recall note).
     """
-    if max_hamming <= 5:
-        n_blocks = 6
-        band_size = 6 - max_hamming
-    else:
-        n_blocks = min(max_hamming + 1, 64)
-        band_size = 1
+    if n_blocks is None:
+        n_blocks = 6 if max_hamming <= 5 else min(max_hamming + 1, 64)
+    if not max_hamming < n_blocks <= 64:
+        raise ValueError(
+            f"n_blocks must be in (max_hamming, 64]; got n_blocks={n_blocks}, "
+            f"max_hamming={max_hamming}"
+        )
+    band_size = n_blocks - max_hamming
     widths = [(64 // n_blocks) + (1 if i < 64 % n_blocks else 0) for i in range(n_blocks)]
     offsets = [sum(widths[:i]) for i in range(n_blocks)]
 

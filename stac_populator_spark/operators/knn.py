@@ -208,8 +208,12 @@ def knn_join(
     neighbors are found via ghost candidates (:func:`_ghost_wrap`)."""
     if res is None:
         res = choose_res(items.count(), k=k, radius=radius)
-    pts = items.filter(F.col("lon").isNotNull() & F.col("lat").isNotNull()).select(
-        F.col(id_col).alias("id"), "lon", "lat"
+    from .skew import ensure_parallelism
+
+    pts = ensure_parallelism(
+        items.filter(F.col("lon").isNotNull() & F.col("lat").isNotNull()).select(
+            F.col(id_col).alias("id"), "lon", "lat"
+        )
     )
     return _ring_topk(pts, pts, k=k, res=res, radius=radius)
 
@@ -350,6 +354,14 @@ def knn_join_exact(
     pts = items.filter(F.col("lon").isNotNull() & F.col("lat").isNotNull()).select(
         F.col(id_col).alias("id"), "lon", "lat"
     )
+    # widen an under-partitioned source (single-row-group parquet → one
+    # scan split) BEFORE the ring join: the join broadcasts the candidate
+    # side, so the streamed side's scan partitioning is the stage width
+    # for the explode + map-side WindowGroupLimit sort — measured on the
+    # sf10 probe as a single 27-min spill-looping task (r5)
+    from .skew import ensure_parallelism
+
+    pts = ensure_parallelism(pts)
     # one job for the total AND the polar band populations at BOTH
     # escalation widths (the polar pass must not add count() round-trips
     # of its own — that cost 3× on the sf0.1 bench when it shipped as

@@ -42,9 +42,14 @@ def cosine_topk(
     query_id_col: str = "query_id",
 ) -> DataFrame:
     """Exact top-k by cosine: corpus × broadcast(queries) → window rank.
-    Returns (query_id, vec_id, cos, rank); deterministic tie-break on id."""
+    Returns (query_id, vec_id, cos, rank); deterministic tie-break on id.
+    The corpus (scan-stage) is widened when under-partitioned — the
+    per-row dot products and the map-side WindowGroupLimit sort run at
+    the scan's width (skew.ensure_parallelism)."""
+    from .skew import ensure_parallelism
+
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("q_vec"))
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("c_vec"))
+    c = ensure_parallelism(corpus.select(F.col(id_col), F.col(vec_col).alias("c_vec")))
     scored = c.join(F.broadcast(q)).withColumn(
         "cos", cosine_expr(F.col("q_vec"), F.col("c_vec"))
     )
@@ -182,9 +187,15 @@ def ivf_assign(df: DataFrame, vec_col: str = "embedding", dim: int = 64,
     product) of k unit centroids — trained (:func:`ivf_train`) when given,
     else seeded-random. At scale the corpus would be written
     partitioned/bucketed by ``ivf_cluster`` so probes touch only matching
-    partitions (partition pruning on the cluster column)."""
+    partitions (partition pruning on the cluster column). The (scan-stage)
+    input is widened when under-partitioned so the assignment matmul and
+    everything downstream of it run at session width."""
+    from .skew import ensure_parallelism
+
     cents = centroids if centroids is not None else _centroids(dim, k_centroids, seed)
-    return df.withColumn("ivf_cluster", _assign_udf(cents)(F.col(vec_col)))
+    return ensure_parallelism(df).withColumn(
+        "ivf_cluster", _assign_udf(cents)(F.col(vec_col))
+    )
 
 
 def ivf_topk(
@@ -330,7 +341,10 @@ def cosine_near_duplicates(
     buckets are capped at ``bucket_cap`` join representatives per bucket
     (see dedup.minhash_candidates recall note).
     """
+    from .skew import ensure_parallelism
+
     planes = _hyperplanes(dim, n_bands * bits_per_band, seed)
+    df = ensure_parallelism(df)
     b = df.select(
         F.col(id_col),
         F.col(vec_col).alias("_vec"),
@@ -468,9 +482,13 @@ def pq_topk(
     score; (3) exact cosine rerank joins the shortlist ids (a tiny set)
     back to their true vectors. Returns (query_id, vec_id, cos, rank).
     """
+    from .skew import ensure_parallelism
+
     m = codebooks.shape[0]
     luts = _pq_query_luts(queries, codebooks, query_id_col, vec_col)
-    enc = pq_encode(corpus.select(id_col, vec_col), codebooks).select(id_col, "pq_code")
+    enc = pq_encode(
+        ensure_parallelism(corpus.select(id_col, vec_col)), codebooks
+    ).select(id_col, "pq_code")
     qids = queries.select(query_id_col)
     scored = enc.crossJoin(F.broadcast(qids)).withColumn(
         "approx_ip", _approx_ip_udf(luts, m)(F.col("pq_code"), F.col(query_id_col))

@@ -42,6 +42,43 @@ def explode_dim(df: DataFrame, key_col: str, n_salts: int,
     ).drop("_salt")
 
 
+def ensure_parallelism(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Widen an under-partitioned input before CPU-heavy map-side work.
+
+    Spark sizes file splits by BYTES (``maxPartitionBytes``), and a split
+    can never cut inside a parquet row group — a table written with the
+    default 128 MB row groups yields at most one non-empty task per row
+    group regardless of session cores. Right for IO-bound scans; wrong
+    for this package's CPU-bound pre-shuffle stages (signature
+    computation, ring/shingle explodes, brute-force scoring — work per
+    row ≫ bytes per row), where it serializes the whole stage onto a
+    handful of tasks. Measured on the sf10 probe (r5): the kNN ring-join
+    map-side WindowGroupLimit sorted the ENTIRE candidate stream in ONE
+    spill-looping task for 27+ min because the 58 MB source file was a
+    single row group; minhash/simhash showed the same signature —
+    local[8] ≈ local[32] wall times at sf1.
+
+    Fix: round-robin repartition to ``defaultParallelism·factor`` when
+    (and only when) the input has fewer partitions — one narrow exchange
+    buys full stage width. At cluster scale a real table scan already
+    carries thousands of splits, so the guard makes this a structural
+    no-op; it exists for the many-cores-per-file regime, which is also
+    exactly the local bench shape. ``factor=2`` mirrors the session's
+    ``shuffle_partitions = cores·2`` sizing (mild skew headroom).
+
+    CONSTRAINT: call this on scan-stage inputs only (reads, narrow
+    projections/filters). The partition-count probe goes through
+    ``df.rdd``, and converting an AQE plan that contains a shuffle forces
+    its upstream query stages to EXECUTE at plan time — on a derived
+    frame this silently runs (part of) the job early and can double
+    work. Every use in this package sits directly on a table read.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def two_phase_count(df: DataFrame, key_col: str, unique_col: str, n_salts: int = 16) -> DataFrame:
     """Skew-proof count per key: partial count per (key, salt) → final sum
     per key. Map-side combine already handles most of this for counts; the

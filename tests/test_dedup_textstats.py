@@ -164,6 +164,49 @@ def test_simhash_banding_exact_for_hamming_3(spark):
     assert (1, 2) not in out       # xor = bits {0,5,20,60} → hamming 4 > 3
 
 
+def test_simhash_block_schemes_identical_pairs(spark):
+    # pigeonhole exactness holds at EVERY block count > max_hamming —
+    # the 4/5/6-block schemes trade band count against key width but must
+    # produce the IDENTICAL pair set (r5: choose_simhash_blocks picks the
+    # cheapest safe scheme from the corpus row count). 200 deterministic
+    # pseudo-random signatures + planted neighbors at hamming 1/2/3/4
+    # spread across block boundaries of ALL the schemes.
+    import random
+
+    rng = random.Random(42)
+    sigs = [(i, rng.getrandbits(63)) for i in range(200)]
+    nxt = 200
+    for base_id in range(0, 40, 4):
+        base = sigs[base_id][1]
+        for bits in ([3], [3, 17], [5, 21, 43], [2, 18, 34, 50]):
+            x = base
+            for b in bits:
+                x ^= 1 << b
+            sigs.append((nxt, x))
+            nxt += 1
+    df = spark.createDataFrame(pd.DataFrame(sigs, columns=["doc_id", "simhash"]))
+    results = []
+    for n_blocks in (4, 5, 6):
+        out = simhash_candidates(df, max_hamming=3, n_blocks=n_blocks)
+        results.append(sorted((r["a"], r["b"], r["hamming"]) for r in out.collect()))
+    assert results[0] == results[1] == results[2]
+    assert len(results[0]) >= 30  # the planted hamming ≤3 neighbors
+
+
+def test_choose_simhash_blocks_thresholds():
+    from stac_populator_spark.operators.dedup import choose_simhash_blocks
+
+    assert choose_simhash_blocks(50_000) == 4       # bench scale
+    assert choose_simhash_blocks(4_000_000) == 4
+    assert choose_simhash_blocks(10_000_000) == 5
+    assert choose_simhash_blocks(10**9) == 5
+    assert choose_simhash_blocks(10**12) == 6       # the 10^12-row regime
+    # exactness precondition: chosen n always exceeds max_hamming
+    for h in (1, 2, 3, 4, 5):
+        for rows in (10, 10**6, 10**12):
+            assert choose_simhash_blocks(rows, max_hamming=h) > h
+
+
 def test_token_stats(spark, corpus):
     out = {r["doc_id"]: r for r in with_token_stats(corpus).collect()}
     assert out[4]["n_tokens"] == 2
