@@ -10,7 +10,7 @@ Four gates:
 3. **per-row cost** — sf1 wall time vs sf0.1 wall time in identical
    sessions: ratio/10 must stay ≤ 2 (no superlinear blowup);
 4. **polar ring path** — the |lat|≥80 cap of the doc-point grid must be
-   ≥80% proven by the pole-rotated ring pass (knn_polar_stats.py), with
+   ≥99% proven by the pole-rotated ring pass (knn_polar_stats.py), with
    the brute remnant bounded — pole points no longer default to brute.
 
 Writes benchdata/SF1_STRESS.json; append the summary to BENCH/BASELINE.md.
@@ -132,9 +132,12 @@ def main():
     if ps.returncode != 0:
         raise RuntimeError(f"knn_polar_stats failed:\n{ps.stderr[-3000:]}")
     polar = json.loads([l for l in ps.stdout.splitlines() if l.startswith("{")][-1])
+    # r5 bar (VERDICT r4 ask #3): >=99% of the cap ring-proven — the
+    # second escalation closes the band-edge remnant, so near-total
+    # coverage is the new steady state (round-5 run: 421/421 = 100%)
     polar["ok"] = (
         polar["polar_cap"] > 0
-        and polar["polar_proven"] >= 0.8 * polar["polar_cap"]
+        and polar["polar_proven"] >= 0.99 * polar["polar_cap"]
         and polar["brute"] <= 0.2 * polar["n_points"]
     )
     print(f"  cap={polar['polar_cap']} ring-proven={polar['polar_proven']} "
