@@ -178,16 +178,19 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
     th = F.md5(F.col(text_col).cast("binary"))
     # ONE map-side-combined aggregate carries everything downstream needs:
     # the representative, the full (sorted) member-id list, and the
-    # representative text. localCheckpoint(eager=False) pins it so the
-    # four consumers (signatures, both jaccard sides, within, cross) don't
-    # each recompute the collapse — the r3 shape recomputed this subtree
-    # per branch and paid ~4 extra scan+exchange stages (measured ~10.2s →
-    # 6.2s at sf0.1 for the identical pair set).
+    # representative text. The four consumers (signatures, both jaccard
+    # sides, within, cross) share it through AQE's ReuseExchange — the
+    # identical agg subplans resolve to ONE executed stage. (r4 pinned it
+    # with localCheckpoint(eager=False) instead; r5 measured that the pin
+    # costs a full plan re-analysis per invocation plus RDD
+    # materialization overhead and is strictly slower at sf0.1 AND sf1 —
+    # 15.5 s vs 4.5 s first-run at sf0.1 — with exchange reuse already
+    # deduping the stage.)
     grp = df.groupBy(th.alias("_th")).agg(
         F.min(id_col).alias("_rep"),
         F.sort_array(F.collect_list(id_col)).alias("_ids"),
         F.min_by(F.col(text_col), F.col(id_col)).alias("_text"),
-    ).localCheckpoint(eager=False)
+    )
     reps = grp.select(F.col("_rep").alias(id_col), F.col("_text").alias(text_col))
     sigs = minhash_signatures(reps, text_col, id_col)
     cands = minhash_candidates(sigs, id_col)
@@ -248,26 +251,47 @@ _SWAR_MASK = 0x0001000100010001  # one set bit per 16-bit counter field
 _SWAR_MAX_TOKENS = 32768
 
 
-def _swar_acc(col_name: str, j: int) -> F.Column:
+def _swar_acc_sql(col: str, j: int) -> str:
     """Σ over the long-array of (h >>> j) & 0x0001000100010001: field b of
     the result counts elements with bit (16b + j) set — 4 bit-position
-    counters per traversal."""
-    return F.aggregate(
-        F.col(col_name),
-        F.lit(0).cast("long"),
-        lambda acc, h: acc
-        + F.shiftrightunsigned(h, j).bitwiseAND(F.lit(_SWAR_MASK).cast("long")),
+    counters per traversal. Built as a SQL string so plan construction is
+    one JVM parse instead of ~100 py4j roundtrips per accumulator."""
+    return (
+        f"aggregate({col}, CAST(0 AS BIGINT), (acc, h) -> "
+        f"acc + (shiftrightunsigned(h, {j}) & CAST({_SWAR_MASK} AS BIGINT)))"
     )
 
 
-def _bit_count_at(col_name: str, pos: int) -> F.Column:
-    """Per-bit count (the pre-SWAR formulation): number of array elements
-    with bit ``pos`` set — the giant-document fallback path."""
-    return F.aggregate(
-        F.col(col_name),
-        F.lit(0),
-        lambda acc, h: acc
-        + F.shiftrightunsigned(h, pos).bitwiseAND(F.lit(1)).cast("int"),
+def _slow_counts_sql(col: str) -> str:
+    """Giant-document fallback: ONE traversal producing all 64 per-bit
+    counts as a bigint array indexed by packed-long bit position (the
+    pre-r5 formulation ran 64 separate per-bit ``aggregate`` lambdas —
+    same values, but the 64-subtree expression cost ~2 s of JVM analysis
+    per plan build). Counts are exact at any document size."""
+    return (
+        f"aggregate({col}, array_repeat(CAST(0 AS BIGINT), 64), (acc, h) -> "
+        f"zip_with(acc, sequence(0, 63), (c, b) -> "
+        f"c + (shiftrightunsigned(h, b) & CAST(1 AS BIGINT))))"
+    )
+
+
+def _sig_assembly_sql(bits: int, cnt_for_bit, slow_for_bit) -> str:
+    """The 64-term majority-vote OR chain as one SQL expression:
+    bit i is set when 2·count(bit i over tokens) > n. ``cnt_for_bit`` /
+    ``slow_for_bit`` map a bit index to the SQL for its SWAR-field /
+    per-bit count. Driver cost: string formatting + ONE parse."""
+    fast = " | ".join(
+        f"(CASE WHEN 2 * {cnt_for_bit(i)} > _n THEN "
+        f"shiftleft(CAST(1 AS BIGINT), {i}) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(bits)
+    )
+    slow = " | ".join(
+        f"(CASE WHEN 2 * {slow_for_bit(i)} > _n THEN "
+        f"shiftleft(CAST(1 AS BIGINT), {i}) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(bits)
+    )
+    return (
+        f"CASE WHEN _n < {_SWAR_MAX_TOKENS} THEN ({fast}) ELSE ({slow}) END"
     )
 
 
@@ -279,15 +303,21 @@ def simhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     explode+sum formulation since sum(±1) > 0 ⟺ 2·count(bit=1) > n).
     The interpreted aggregate passes cost ~1 ms/doc, so an
     under-partitioned (single-row-group) source is widened first —
-    :func:`skew.ensure_parallelism`; call on scan-stage frames only."""
+    :func:`skew.ensure_parallelism`; call on scan-stage frames only.
+
+    r5: the projection is assembled as SQL STRINGS (``selectExpr``) —
+    the former Column-DSL construction issued several thousand py4j
+    roundtrips and cost 3-7 s of DRIVER time per plan build (measured at
+    sf0.1, where it dominated the bench wall); the parsed expressions are
+    identical, so signatures are bit-identical."""
     from .skew import ensure_parallelism
 
     df = ensure_parallelism(df)
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    out = df.select(
-        F.col(id_col),
-        F.transform(toks, lambda t: F.xxhash64(t)).alias("_hs"),
-        F.size(toks).alias("_n"),
+    toks = f"split(trim(`{text_col}`), '\\\\s+')"
+    out = df.selectExpr(
+        f"`{id_col}`",
+        f"transform({toks}, t -> xxhash64(t)) AS _hs",
+        f"size({toks}) AS _n",
     )
     # SWAR bit-count (r4): pass j accumulates FOUR bit positions at once —
     # (h >>> j) & 0x0001000100010001 drops bits (16b + j) into independent
@@ -296,35 +326,26 @@ def simhash_signature(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     # measured ~25% off the projection, bit-identical). Docs beyond
     # _SWAR_MAX_TOKENS take the per-bit path via a per-row If, so the
     # result is exact at ANY document size.
-    swar_ok = F.col("_n") < _SWAR_MAX_TOKENS
-    out = out.select(
-        id_col,
+    out = out.selectExpr(
+        f"`{id_col}`",
         "_n",
-        "_hs",
         *[
-            F.when(swar_ok, _swar_acc("_hs", j)).alias(f"_a{j}")
+            f"CASE WHEN _n < {_SWAR_MAX_TOKENS} THEN "
+            f"{_swar_acc_sql('_hs', j)} END AS _a{j}"
             for j in range(16)
         ],
+        f"CASE WHEN _n >= {_SWAR_MAX_TOKENS} THEN "
+        f"{_slow_counts_sql('_hs')} END AS _slow",
     )
-    sig_fast = F.lit(0).cast("long")
-    sig_slow = F.lit(0).cast("long")
-    for i in range(bits):
-        cnt = F.shiftrightunsigned(F.col(f"_a{i % 16}"), 16 * (i // 16)).bitwiseAND(
-            F.lit(0xFFFF).cast("long")
-        )
-        sig_fast = sig_fast.bitwiseOR(
-            F.when(2 * cnt > F.col("_n"), F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-        slow_cnt = _bit_count_at("_hs", i)
-        sig_slow = sig_slow.bitwiseOR(
-            F.when(2 * slow_cnt > F.col("_n"), F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    sig = F.when(swar_ok, sig_fast).otherwise(sig_slow)
-    return out.select(F.col(id_col), sig.alias("simhash"))
+    sig = _sig_assembly_sql(
+        bits,
+        cnt_for_bit=lambda i: (
+            f"(shiftrightunsigned(_a{i % 16}, {16 * (i // 16)}) "
+            f"& CAST(65535 AS BIGINT))"
+        ),
+        slow_for_bit=lambda i: f"element_at(_slow, {i + 1})",
+    )
+    return out.selectExpr(f"`{id_col}`", f"{sig} AS simhash")
 
 
 def simhash_signature_md5(df: DataFrame, text_col: str = "text",
@@ -339,56 +360,48 @@ def simhash_signature_md5(df: DataFrame, text_col: str = "text",
     from .skew import ensure_parallelism
 
     df = ensure_parallelism(df)
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = f"split(trim(`{text_col}`), '\\\\s+')"
     # the first four 16-bit chunks of the md5 hex digest, packed into ONE
     # long per token (conv beats 16 per-digit instr lookups); bit i of the
     # signature lives in chunk i//16 at in-chunk position
     # (3 − (i//4)%4)·4 + (3 − i%4) — hex digit order is big-endian.
-    # Zero-exchange + SWAR (r4): with chunk c at bit offset 16c, pass j of
-    # :func:`_swar_acc` counts four positions at once — 64 interpreted
-    # array traversals become 16, bit-identical signatures.
-    hx = F.transform(toks, lambda t: F.md5(t.cast("binary")))
-    packed = F.transform(
-        hx,
-        lambda h: (
-            F.conv(F.substring(h, 1, 4), 16, 10)
-            .cast("long")
-            .bitwiseOR(F.shiftleft(F.conv(F.substring(h, 5, 4), 16, 10).cast("long"), 16))
-            .bitwiseOR(F.shiftleft(F.conv(F.substring(h, 9, 4), 16, 10).cast("long"), 32))
-            .bitwiseOR(F.shiftleft(F.conv(F.substring(h, 13, 4), 16, 10).cast("long"), 48))
-        ),
+    # Zero-exchange + SWAR (r4); SQL-string assembly (r5, see
+    # :func:`simhash_signature`) — bit-identical signatures, ~1000×
+    # fewer py4j roundtrips at plan-build time.
+    packed = (
+        f"transform(transform({toks}, t -> md5(CAST(t AS BINARY))), h -> "
+        f"CAST(conv(substring(h, 1, 4), 16, 10) AS BIGINT)"
+        f" | shiftleft(CAST(conv(substring(h, 5, 4), 16, 10) AS BIGINT), 16)"
+        f" | shiftleft(CAST(conv(substring(h, 9, 4), 16, 10) AS BIGINT), 32)"
+        f" | shiftleft(CAST(conv(substring(h, 13, 4), 16, 10) AS BIGINT), 48))"
     )
-    out = df.select(F.col(id_col), F.size(toks).alias("_n"), packed.alias("_pk"))
-    swar_ok = F.col("_n") < _SWAR_MAX_TOKENS
-    out = out.select(
-        id_col,
+    out = df.selectExpr(
+        f"`{id_col}`", f"size({toks}) AS _n", f"{packed} AS _pk"
+    )
+    out = out.selectExpr(
+        f"`{id_col}`",
         "_n",
-        "_pk",
         *[
-            F.when(swar_ok, _swar_acc("_pk", j)).alias(f"_a{j}")
+            f"CASE WHEN _n < {_SWAR_MAX_TOKENS} THEN "
+            f"{_swar_acc_sql('_pk', j)} END AS _a{j}"
             for j in range(16)
         ],
+        f"CASE WHEN _n >= {_SWAR_MAX_TOKENS} THEN "
+        f"{_slow_counts_sql('_pk')} END AS _slow",
     )
-    sig_fast = F.lit(0).cast("long")
-    sig_slow = F.lit(0).cast("long")
-    for i in range(64):
-        shift = (3 - (i // 4) % 4) * 4 + (3 - i % 4)  # position within chunk
-        cnt = F.shiftrightunsigned(F.col(f"_a{shift}"), 16 * (i // 16)).bitwiseAND(
-            F.lit(0xFFFF).cast("long")
-        )
-        sig_fast = sig_fast.bitwiseOR(
-            F.when(2 * cnt > F.col("_n"), F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-        slow_cnt = _bit_count_at("_pk", 16 * (i // 16) + shift)
-        sig_slow = sig_slow.bitwiseOR(
-            F.when(2 * slow_cnt > F.col("_n"), F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    sig = F.when(swar_ok, sig_fast).otherwise(sig_slow)
-    return out.select(F.col(id_col), sig.alias("simhash"))
+
+    def shift(i: int) -> int:
+        return (3 - (i // 4) % 4) * 4 + (3 - i % 4)  # position within chunk
+
+    sig = _sig_assembly_sql(
+        64,
+        cnt_for_bit=lambda i: (
+            f"(shiftrightunsigned(_a{shift(i)}, {16 * (i // 16)}) "
+            f"& CAST(65535 AS BIGINT))"
+        ),
+        slow_for_bit=lambda i: f"element_at(_slow, {16 * (i // 16) + shift(i) + 1})",
+    )
+    return out.selectExpr(f"`{id_col}`", f"{sig} AS simhash")
 
 
 def choose_simhash_blocks(n_rows: int, max_hamming: int = 3,
@@ -461,13 +474,14 @@ def simhash_candidates(sigs: DataFrame, id_col: str = "doc_id",
         )
 
     # collapse identical signatures (exact dups flood every band); ONE
-    # aggregate carries rep + sorted member list, pinned so the four
-    # consumers don't recompute it (same r4 rework as
-    # :func:`minhash_near_duplicates`, measured ~2× at sf0.1)
+    # aggregate carries rep + sorted member list, shared by its consumers
+    # through AQE ReuseExchange (r5: the former localCheckpoint pin
+    # re-analyzed the whole signature subtree per invocation and was
+    # strictly slower — see :func:`minhash_near_duplicates`)
     grp = sigs.groupBy("simhash").agg(
         F.min(id_col).alias("_rep"),
         F.sort_array(F.collect_list(id_col)).alias("_ids"),
-    ).localCheckpoint(eager=False)
+    )
     reps = grp.select(F.col("_rep").alias(id_col), "simhash")
 
     combos = list(itertools.combinations(range(n_blocks), band_size))

@@ -72,6 +72,10 @@ def ensure_parallelism(df: DataFrame, factor: int = 2) -> DataFrame:
     its upstream query stages to EXECUTE at plan time — on a derived
     frame this silently runs (part of) the job early and can double
     work. Every use in this package sits directly on a table read.
+    (Probing the optimized plan's treeString() to auto-detect shuffle
+    nodes was tried in r5 and measured WORSE: a plan carrying the 64-term
+    SimHash/SWAR expression trees serializes multi-MB strings over py4j
+    per call — keep the contract static instead.)
     """
     target = df.sparkSession.sparkContext.defaultParallelism * factor
     if df.rdd.getNumPartitions() < target:

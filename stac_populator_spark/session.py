@@ -63,6 +63,17 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Python workers talk to the JVM over ONE duplex socket in Spark 4,
+        # multiplexed on the task thread. Over loopback TCP, a stage that
+        # streams large Arrow batches both ways can fill both kernel socket
+        # buffers, drop segments, and wedge in exponential RTO/zero-window
+        # backoff (observed: ~2h stall, python Send-Q 4.2MB notsent,
+        # rwnd_limited 100%, backoff 47). Unix domain sockets have blocking
+        # flow control and no retransmission — the class disappears.
+        .config(
+            "spark.python.unix.domain.socket.enabled",
+            os.environ.get("SPARK_GRAFT_WORKER_UDS", "true"),
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
