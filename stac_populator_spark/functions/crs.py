@@ -39,6 +39,7 @@ import numpy as np
 WGS84_A = 6378137.0
 DEG_M = WGS84_A * np.pi / 180.0  # metres per degree on the WGS84 equator
 GRS80_F = 1.0 / 298.257222101
+WGS84_F = 1.0 / 298.257223563
 
 
 def _wrap_lon(lon: np.ndarray) -> np.ndarray:
@@ -547,6 +548,122 @@ def _conic_wkt_params(spec: str) -> dict | None:
     return out
 
 
+def _polar_wkt_params(spec: str) -> dict | None:
+    """Polar Stereographic parameters out of a PROJCS/PROJCRS WKT —
+    :func:`polar_stereo_inverse` kwargs plus ``unit``. WKT1 puts the
+    standard parallel in latitude_of_origin (variant B usage,
+    |lat| < 90) or declares the pole itself with a scale_factor
+    (variant A); WKT2 names the method variant explicitly. Same datum
+    gate as the conics (→ dead-letter / pyproj seam outside
+    WGS84/NAD83/null-TOWGS84)."""
+    if not re.search(r"Polar[ _]?Stereographic", spec, re.IGNORECASE):
+        return None
+    if not _wkt_datum_is_conic_safe(spec):
+        raise NotImplementedError(
+            "polar-stereographic WKT declares a datum outside WGS84/NAD83 "
+            "with no null TOWGS84 shift — routing to dead-letter (pyproj seam)"
+        )
+
+    def p(*names, default=None):
+        for nm in names:
+            m = re.search(
+                r'PARAMETER\s*\[\s*"' + nm + r'"\s*,\s*(-?[\d.eE+]+)', spec, re.IGNORECASE
+            )
+            if m:
+                return float(m.group(1))
+        return default
+
+    a, f = _wkt_ellipsoid(spec)
+    unit = _wkt_linear_unit(spec)
+    lat_ts = p("standard_parallel_1", "Latitude of standard parallel")
+    lat0 = p("latitude_of_origin", "Latitude of natural origin", default=90.0)
+    out = {
+        "unit": unit,
+        "a": a,
+        "f": f,
+        "lon0": p("central_meridian", "Longitude of origin",
+                  "Longitude of natural origin", default=0.0),
+    }
+    if lat_ts is None and abs(abs(lat0) - 90.0) > 1e-9:
+        lat_ts = lat0  # WKT1 variant-B usage: the parallel rides in lat0
+    if lat_ts is not None:
+        out["lat_ts"] = lat_ts
+        out["k0"] = None
+        out["south"] = lat_ts < 0
+    else:  # variant A: pole + scale factor
+        out["lat_ts"] = None
+        out["k0"] = p("scale_factor", "Scale factor at natural origin", default=1.0)
+        out["south"] = lat0 < 0
+    fe, fe_unit = _wkt_param(
+        spec, "false_easting", "False easting", default=0.0
+    )
+    fn, fn_unit = _wkt_param(
+        spec, "false_northing", "False northing", default=0.0
+    )
+    out["fe"] = fe * (fe_unit if fe_unit is not None else unit)
+    out["fn"] = fn * (fn_unit if fn_unit is not None else unit)
+    return out
+
+
+def _mercator_wkt_params(spec: str) -> dict | None:
+    """Mercator parameters out of a PROJCS/PROJCRS WKT —
+    :func:`mercator_inverse` kwargs plus ``unit``. Covers Mercator_1SP /
+    variant A (k0), Mercator_2SP / variant B (k0 derived from the
+    standard parallel, EPSG method 9805), and the spherical 'Popular
+    Visualisation Pseudo Mercator' (Web Mercator, method 1024). The
+    Transverse/Oblique families are matched by their own parsers first;
+    the regex here requires Mercator NOT preceded by those qualifiers."""
+    if not re.search(r"Mercator", spec, re.IGNORECASE):
+        return None
+    if re.search(r"Transverse[ _]?Mercator|Oblique[ _]?Mercator", spec, re.IGNORECASE):
+        return None  # owned by the TM parser / dead-letter
+    spherical = bool(
+        re.search(
+            r"Pseudo[-_ ]?Mercator|Popular\s+Visualisation|Auxiliary[-_ ]Sphere",
+            spec,
+            re.IGNORECASE,
+        )
+    )
+    if not _wkt_datum_is_conic_safe(spec):
+        raise NotImplementedError(
+            "mercator WKT declares a datum outside WGS84/NAD83 with no null "
+            "TOWGS84 shift — routing to dead-letter (pyproj seam)"
+        )
+
+    def p(*names, default=None):
+        for nm in names:
+            m = re.search(
+                r'PARAMETER\s*\[\s*"' + nm + r'"\s*,\s*(-?[\d.eE+]+)', spec, re.IGNORECASE
+            )
+            if m:
+                return float(m.group(1))
+        return default
+
+    a, f = _wkt_ellipsoid(spec)
+    unit = _wkt_linear_unit(spec)
+    k0 = p("scale_factor", "Scale factor at natural origin")
+    sp1 = p("standard_parallel_1", "Latitude of 1st standard parallel")
+    if k0 is None and sp1 is not None and not spherical:
+        # variant B: true scale at ±sp1 ⇒ k0 = m(sp1) (EPSG 9805)
+        e = np.sqrt(2 * f - f * f)
+        p1 = np.radians(abs(sp1))
+        k0 = float(np.cos(p1) / np.sqrt(1 - (e * np.sin(p1)) ** 2))
+    out = {
+        "spherical": spherical,
+        "unit": unit,
+        "a": a,
+        "f": f,
+        "k0": 1.0 if k0 is None else k0,
+        "lon0": p("central_meridian", "Longitude of natural origin",
+                  "Longitude of origin", default=0.0),
+    }
+    fe, fe_unit = _wkt_param(spec, "false_easting", "False easting", default=0.0)
+    fn, fn_unit = _wkt_param(spec, "false_northing", "False northing", default=0.0)
+    out["fe"] = fe * (fe_unit if fe_unit is not None else unit)
+    out["fn"] = fn * (fn_unit if fn_unit is not None else unit)
+    return out
+
+
 def compound_horizontal(spec: str) -> str | None:
     """CompoundCRS handling (reference: vertical axis promotes the CRS to
     3D and z passes through to a 6-element bbox — stac_utils.py:146-165,
@@ -577,6 +694,154 @@ def eqc_inverse(x, y) -> tuple[np.ndarray, np.ndarray]:
         np.asarray(x, dtype=np.float64) / DEG_M,
         np.asarray(y, dtype=np.float64) / DEG_M,
     )
+
+
+def _iter_conformal_phi(t, e, iters: int = 8) -> np.ndarray:
+    """φ from the isometric parameter t (Snyder eq 7-9, fixed-point
+    iteration — the same scheme :func:`lcc_inverse` uses; converges to
+    double precision in ~4 iterations)."""
+    phi = np.pi / 2 - 2 * np.arctan(t)
+    for _ in range(iters):
+        phi = np.pi / 2 - 2 * np.arctan(
+            t * ((1 - e * np.sin(phi)) / (1 + e * np.sin(phi))) ** (e / 2)
+        )
+    return phi
+
+
+def _snyder_t(phi, e):
+    """Snyder eq 15-9: the conformal-projection isometric parameter."""
+    return np.tan(np.pi / 4 - phi / 2) / (
+        (1 - e * np.sin(phi)) / (1 + e * np.sin(phi))
+    ) ** (e / 2)
+
+
+def polar_stereo_inverse(
+    x,
+    y,
+    a: float = WGS84_A,
+    f: float = WGS84_F,
+    lat_ts: float | None = 70.0,
+    lon0: float = -45.0,
+    fe: float = 0.0,
+    fn: float = 0.0,
+    k0: float | None = None,
+    south: bool | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Ellipsoidal Polar Stereographic inverse — Snyder pp.160-162 (EPSG
+    method 9829 'variant B' when ``lat_ts`` is given, 9810 'variant A'
+    when ``k0`` is given instead). Defaults are EPSG:3413 (NSIDC Sea Ice
+    Polar Stereographic North). The aspect (pole) follows the sign of
+    ``lat_ts`` unless ``south`` is passed explicitly (variant A has no
+    standard parallel to read it from). South aspect computes in the
+    mirrored north form — Snyder p.161: reverse the signs of x, y, λ₀,
+    λ, φ₁ and φ."""
+    e = np.sqrt(2 * f - f * f)
+    if south is None:
+        south = lat_ts is not None and lat_ts < 0
+    sgn = -1.0 if south else 1.0
+    xp = sgn * (np.asarray(x, dtype=np.float64) - fe)
+    yp = sgn * (np.asarray(y, dtype=np.float64) - fn)
+    lon0_n = sgn * lon0
+    rho = np.hypot(xp, yp)
+    if k0 is not None:  # variant A: scale factor at the pole
+        t = rho * np.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e)) / (2 * a * k0)
+    else:  # variant B: true scale at lat_ts
+        p_ts = np.radians(abs(lat_ts))
+        m_ts = np.cos(p_ts) / np.sqrt(1 - (e * np.sin(p_ts)) ** 2)
+        t = rho * _snyder_t(p_ts, e) / (a * m_ts)
+    phi = _iter_conformal_phi(t, e)
+    lon = lon0_n + np.degrees(np.arctan2(xp, -yp))
+    return _wrap_lon(sgn * lon), sgn * np.degrees(phi)
+
+
+def polar_stereo_forward(
+    lon,
+    lat,
+    a: float = WGS84_A,
+    f: float = WGS84_F,
+    lat_ts: float | None = 70.0,
+    lon0: float = -45.0,
+    fe: float = 0.0,
+    fn: float = 0.0,
+    k0: float | None = None,
+    south: bool | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Polar Stereographic forward (Snyder eqs 21-33/34, ellipsoidal) —
+    pins :func:`polar_stereo_inverse` by roundtrip."""
+    e = np.sqrt(2 * f - f * f)
+    if south is None:
+        south = lat_ts is not None and lat_ts < 0
+    sgn = -1.0 if south else 1.0
+    phi = np.radians(sgn * np.asarray(lat, dtype=np.float64))
+    theta = np.radians(sgn * np.asarray(lon, dtype=np.float64) - sgn * lon0)
+    t = _snyder_t(phi, e)
+    if k0 is not None:
+        rho = 2 * a * k0 * t / np.sqrt((1 + e) ** (1 + e) * (1 - e) ** (1 - e))
+    else:
+        p_ts = np.radians(abs(lat_ts))
+        m_ts = np.cos(p_ts) / np.sqrt(1 - (e * np.sin(p_ts)) ** 2)
+        rho = a * m_ts * t / _snyder_t(p_ts, e)
+    return fe + sgn * rho * np.sin(theta), fn - sgn * rho * np.cos(theta)
+
+
+def mercator_inverse(
+    x,
+    y,
+    a: float = WGS84_A,
+    f: float = WGS84_F,
+    lon0: float = 0.0,
+    fe: float = 0.0,
+    fn: float = 0.0,
+    k0: float = 1.0,
+    spherical: bool = False,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Mercator inverse. Ellipsoidal variant A/B by default (EPSG:3395
+    with k0=1; variant B callers pass k0 = m(φ₁), EPSG method 9805);
+    ``spherical=True`` is EPSG:3857 Web Mercator / 'Popular
+    Visualisation Pseudo Mercator' (method 1024) — DEFINED on the
+    sphere of radius a, not an approximation."""
+    xp = np.asarray(x, dtype=np.float64) - fe
+    yp = np.asarray(y, dtype=np.float64) - fn
+    lon = lon0 + np.degrees(xp / (a * k0))
+    if spherical:
+        lat = np.degrees(2 * np.arctan(np.exp(yp / (a * k0))) - np.pi / 2)
+        return _wrap_lon(lon), lat
+    e = np.sqrt(2 * f - f * f)
+    t = np.exp(-yp / (a * k0))
+    return _wrap_lon(lon), np.degrees(_iter_conformal_phi(t, e))
+
+
+def mercator_forward(
+    lon,
+    lat,
+    a: float = WGS84_A,
+    f: float = WGS84_F,
+    lon0: float = 0.0,
+    fe: float = 0.0,
+    fn: float = 0.0,
+    k0: float = 1.0,
+    spherical: bool = False,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Mercator forward (Snyder eq 7-7 ellipsoidal / 7-2 spherical) —
+    pins :func:`mercator_inverse` by roundtrip."""
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    xx = fe + a * k0 * lam
+    if spherical:
+        return xx, fn + a * k0 * np.log(np.tan(np.pi / 4 + phi / 2))
+    e = np.sqrt(2 * f - f * f)
+    return xx, fn - a * k0 * np.log(_snyder_t(phi, e))
+
+
+def polar_stereo_params(code: int) -> dict | None:
+    """EPSG WGS84 polar-stereographic codes → variant-B parameters
+    (EPSG registry definitions; all metres, FE = FN = 0)."""
+    return {
+        3413: {"lat_ts": 70.0, "lon0": -45.0},   # NSIDC Sea Ice North
+        3995: {"lat_ts": 71.0, "lon0": 0.0},     # Arctic Polar Stereographic
+        3031: {"lat_ts": -71.0, "lon0": 0.0},    # Antarctic Polar Stereographic
+        3976: {"lat_ts": -70.0, "lon0": 0.0},    # NSIDC Sea Ice South
+    }.get(code)
 
 
 _LON_AXIS_RE = re.compile(r"(^|\s)lon", re.IGNORECASE)
@@ -707,6 +972,22 @@ def transform_to_wgs84(x, y, z=None, crs_spec="EPSG:4326"):
         utm = utm_params(code) if code is not None else None
         tm_wkt = _tm_wkt_params(spec) if utm is None else None
         conic = _conic_wkt_params(spec) if utm is None and tm_wkt is None and code not in (3347, 3348) else None
+        polar = (
+            polar_stereo_params(code)
+            if code is not None and utm is None and tm_wkt is None and conic is None
+            else None
+        )
+        polar_wkt = (
+            _polar_wkt_params(spec)
+            if utm is None and tm_wkt is None and conic is None and polar is None
+            else None
+        )
+        merc_wkt = (
+            _mercator_wkt_params(spec)
+            if utm is None and tm_wkt is None and conic is None
+            and polar is None and polar_wkt is None and code not in (3857, 3395)
+            else None
+        )
         if utm is not None:
             lon, lat = tm_inverse(x, y, **utm)
         elif tm_wkt is not None:
@@ -733,6 +1014,26 @@ def transform_to_wgs84(x, y, z=None, crs_spec="EPSG:4326"):
             if shift:  # e.g. PRIMEM -360: the 0-360 convention
                 lon = _wrap_lon(lon + shift)
             lat = np.asarray(lat_in, dtype=np.float64)
+        elif polar is not None:
+            lon, lat = polar_stereo_inverse(x, y, **polar)
+        elif polar_wkt is not None:
+            unit = polar_wkt.pop("unit", 1.0)
+            lon, lat = polar_stereo_inverse(
+                np.asarray(x, dtype=np.float64) * unit,
+                np.asarray(y, dtype=np.float64) * unit,
+                **polar_wkt,
+            )
+        elif code == 3857:  # Web Mercator (spherical by definition)
+            lon, lat = mercator_inverse(x, y, spherical=True)
+        elif code == 3395:  # World Mercator (ellipsoidal variant A)
+            lon, lat = mercator_inverse(x, y)
+        elif merc_wkt is not None:
+            unit = merc_wkt.pop("unit", 1.0)
+            lon, lat = mercator_inverse(
+                np.asarray(x, dtype=np.float64) * unit,
+                np.asarray(y, dtype=np.float64) * unit,
+                **merc_wkt,
+            )
         elif code == 4087:
             lon, lat = eqc_inverse(x, y)
         elif code in (3347, 3348):

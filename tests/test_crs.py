@@ -644,13 +644,17 @@ def test_wkt1_foot_axis_unit_still_scales_fe_when_no_parameter_unit():
 
 # --- pyproj optional-wheel seam (VERDICT r4 ask #4) ----------------------
 
-_POLAR_STEREO_WKT = """PROJCS["WGS 84 / Antarctic Polar Stereographic",
-    GEOGCS["WGS 84", DATUM["WGS_1984",
-        SPHEROID["WGS 84",6378137,298.257223563]],
+# MODIS Sinusoidal: a real catalog CRS the numpy registry does not (and
+# will not) cover — custom authalic sphere, pseudocylindrical method.
+# (Polar Stereographic, the previous example here, joined the registry
+# in r5 — tests/test_polar_mercator.py owns that family now.)
+_OUT_OF_REGISTRY_WKT = """PROJCS["MODIS Sinusoidal",
+    GEOGCS["Unknown datum based upon the custom spheroid",
+        DATUM["Not_specified_based_on_custom_spheroid",
+            SPHEROID["Custom spheroid",6371007.181,0]],
         PRIMEM["Greenwich",0], UNIT["degree",0.0174532925199433]],
-    PROJECTION["Polar_Stereographic"],
-    PARAMETER["latitude_of_origin",-71],
-    PARAMETER["central_meridian",0],
+    PROJECTION["Sinusoidal"],
+    PARAMETER["longitude_of_center",0],
     PARAMETER["false_easting",0],
     PARAMETER["false_northing",0],
     UNIT["metre",1]]"""
@@ -693,7 +697,7 @@ def test_pyproj_seam_absent_branch_dead_letters_with_install_hint():
         pytest.skip("pyproj wheel present — absent branch not reachable")
     with pytest.raises(NotImplementedError, match="pyproj"):
         crs.transform_to_wgs84(
-            np.array([0.0]), np.array([1000.0]), crs_spec=_POLAR_STEREO_WKT
+            np.array([0.0]), np.array([1000.0]), crs_spec=_OUT_OF_REGISTRY_WKT
         )
 
 
@@ -709,7 +713,7 @@ def test_pyproj_seam_present_branch_transforms_dead_letter_crs(monkeypatch):
     try:
         lon, lat, _ = crs.transform_to_wgs84(
             np.array([crs.DEG_M * 10.0]), np.array([crs.DEG_M * 45.0]),
-            crs_spec=_POLAR_STEREO_WKT,
+            crs_spec=_OUT_OF_REGISTRY_WKT,
         )
         assert abs(lon[0] - 10.0) < 1e-9 and abs(lat[0] - 45.0) < 1e-9
     finally:
