@@ -60,12 +60,24 @@ def choose_res(n_points: int, k: int = 3, radius: int = 1,
                lon_span: float = 360.0, lat_span: float = 170.0) -> int:
     """Density-adaptive bucket resolution: pick the res whose expected
     ring-neighborhood candidate count ≈ max(4k, 16) for the given point
-    density. Any FIXED res is superlinear in disguise — per-cell population
-    grows with density, so candidate pairs grow O(n²/cells) (too fine at
-    low density degrades to the brute-force fallback instead: everyone
-    fails the exactness guarantee). Adapting keeps candidate volume
-    O(n·k) from 10³ to 10¹² points. One driver-side count() is the only
-    cost (metadata-fast on parquet/Iceberg)."""
+    density. Any FIXED res is superlinear in disguise — per-cell
+    population grows with density, so candidate pairs grow O(n²/cells);
+    adapting keeps candidate volume O(n·k) from 10³ to 10¹² points. One
+    driver-side count() is the only cost (metadata-fast on
+    parquet/Iceberg).
+
+    The candidate-count objective sizes e BELOW the expected kth distance
+    r_k = sqrt(k/(π·density)) — the FIRST pass is not guaranteed to prove
+    anything (whether it does depends on where the density lands on the
+    integer-res grid; at sf10 it proved 0 of 71,429 points). That is by
+    design: the radius-doubling escalation grows the proof bound
+    geometrically at ring-local cost, so the cheap-first-pass +
+    escalate shape beats a coarse proof-guaranteeing first pass (a
+    proof-targeted e = 1.25·r_k variant was measured 10× slower at
+    sf0.1: bigger cells mean every pass carries ~π·(1.25)²·k/0.35
+    candidates per point). What is NOT negotiable is that the
+    escalation must actually run — see the non-convergence exit note in
+    :func:`knn_join_exact` (the r5 sf10 fix)."""
     import math
 
     ring_cells = 3 * radius * radius + 3 * radius + 1
@@ -410,8 +422,14 @@ def knn_join_exact(
             break
         if cnt * n_total <= brute_budget:
             break  # remnant is brute-cheap
-        if cnt > 0.75 * prev_cnt:
-            break  # not converging (pole caps / genuinely sparse data)
+        # non-convergence exit (pole caps / genuinely sparse data) — but
+        # NEVER before the first radius doubling: the bound grows
+        # linearly with radius, so pass 1 can prove points pass 0 could
+        # not even when pass 0 proved nothing at all. Bailing at pass 0
+        # turned a mis-sized initial res into an O(n²) brute remnant
+        # (the r5 sf10 finding, 5.1e9 haversine pairs).
+        if radius_i > radius and cnt > 0.75 * prev_cnt:
+            break
         prev_cnt = cnt
         radius_i *= 2
 
