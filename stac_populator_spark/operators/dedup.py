@@ -45,10 +45,18 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 def shingles_col(text_col: str = "text", n: int = 3) -> F.Column:
     """Distinct word n-gram shingles as array<string> (JVM transform)."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    return F.array_distinct(grams)
+    return F.expr(_shingles_sql(text_col, n))
+
+
+def _shingles_sql(text_col: str = "text", n: int = 3) -> str:
+    """SQL spelling of :func:`shingles_col` (identical parsed expression;
+    one JVM parse instead of ~40 py4j roundtrips)."""
+    toks = f"split(trim(`{text_col}`), '\\\\s+')"
+    return (
+        f"array_distinct(transform("
+        f"sequence(0, greatest(size({toks}) - {n}, 0)), "
+        f"i -> concat_ws(' ', slice({toks}, i + 1, {n}))))"
+    )
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -66,13 +74,18 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     plus a full shuffle of per-doc partials; values are bit-identical,
     pinned by tests/test_plans.py::test_minhash_signatures_zero_exchange.)
     """
-    hs = F.transform(shingles_col(text_col), lambda s: F.xxhash64(s))
-    out = df.select(F.col(id_col), hs.alias("_hs"))
+    hs = f"transform({_shingles_sql(text_col)}, s -> xxhash64(s))"
+    out = df.selectExpr(f"`{id_col}`", f"{hs} AS _hs")
+    # SQL-string assembly (r5, same rationale as simhash_signature): the
+    # former 64 Column-DSL lambda columns cost ~1.3 s of driver py4j per
+    # plan build; the parsed expressions (and therefore the signatures)
+    # are bit-identical — integer literals parse to INT in both spellings,
+    # so the xxhash64(seed, h) input types match exactly.
     sig_cols = [
-        F.array_min(F.transform(F.col("_hs"), lambda h: F.xxhash64(F.lit(i), h))).alias(f"mh{i}")
+        f"array_min(transform(_hs, h -> xxhash64({i}, h))) AS mh{i}"
         for i in range(n_hashes)
     ]
-    return out.select(id_col, *sig_cols)
+    return out.selectExpr(f"`{id_col}`", *sig_cols)
 
 
 def minhash_candidates(sigs: DataFrame, id_col: str = "doc_id",
