@@ -41,6 +41,12 @@ DEG_M = WGS84_A * np.pi / 180.0  # metres per degree on the WGS84 equator
 GRS80_F = 1.0 / 298.257222101
 WGS84_F = 1.0 / 298.257223563
 
+# Geographic (lat-first) EPSG codes treated as WGS84-identity: 4326/4979
+# are WGS84 itself; ETRS89 (4258/4937) and NAD83 (4269) agree with WGS84
+# at the metre level — the same datum-tolerance precedent the reference's
+# pyproj hub path applies and the registered NAD83 3347/3348 already use.
+GEOGRAPHIC_WGS84_EQUIV = frozenset({4326, 4979, 4258, 4937, 4269})
+
 
 def _wrap_lon(lon: np.ndarray) -> np.ndarray:
     """Normalize to (-180, 180] the way pyproj renders shifted meridians."""
@@ -841,6 +847,22 @@ def polar_stereo_params(code: int) -> dict | None:
         3995: {"lat_ts": 71.0, "lon0": 0.0},     # Arctic Polar Stereographic
         3031: {"lat_ts": -71.0, "lon0": 0.0},    # Antarctic Polar Stereographic
         3976: {"lat_ts": -70.0, "lon0": 0.0},    # NSIDC Sea Ice South
+        # UPS (variant A: scale factor at the pole, FE = FN = 2,000,000 m)
+        5041: {"lat_ts": None, "k0": 0.994, "lon0": 0.0,
+               "fe": 2_000_000.0, "fn": 2_000_000.0, "south": False},
+        5042: {"lat_ts": None, "k0": 0.994, "lon0": 0.0,
+               "fe": 2_000_000.0, "fn": 2_000_000.0, "south": True},
+    }.get(code)
+
+
+def lcc_params(code: int) -> dict | None:
+    """EPSG LCC-2SP codes on WGS84-equivalent datums → :func:`lcc_inverse`
+    kwargs. RGF93 (Lambert-93) is ≡ WGS84 at the centimetre level — the
+    same datum-tolerance precedent as the registered NAD83 3347/3348."""
+    return {
+        # RGF93 v1 / Lambert-93 (France) — GRS80 ellipsoid
+        2154: {"a": WGS84_A, "f": GRS80_F, "lat1": 49.0, "lat2": 44.0,
+               "lat0": 46.5, "lon0": 3.0, "fe": 700_000.0, "fn": 6_600_000.0},
     }.get(code)
 
 
@@ -868,7 +890,7 @@ def x_is_longitude(crs_spec) -> bool:
         name, direction = m.group(1), m.group(2)
         return bool(_LON_AXIS_RE.search(name)) or direction.lower() in ("east", "west")
     code = _epsg_code(crs_spec)
-    if code in (4326, 4979):
+    if code in GEOGRAPHIC_WGS84_EQUIV:
         return False  # EPSG geographic: latitude first
     return True  # projected CRSs: easting first
 
@@ -1005,7 +1027,7 @@ def transform_to_wgs84(x, y, z=None, crs_spec="EPSG:4326"):
                 np.asarray(y, dtype=np.float64) * unit,
                 **conic,
             )
-        elif code in (4326, 4979) or (
+        elif code in GEOGRAPHIC_WGS84_EQUIV or (
             re.search(r"GEOGCRS|GEOGCS", _spec_text(crs_spec))
             and not re.match(r"\s*(PROJCRS|PROJCS)\s*\[", _spec_text(crs_spec))
         ):
@@ -1038,6 +1060,8 @@ def transform_to_wgs84(x, y, z=None, crs_spec="EPSG:4326"):
             lon, lat = eqc_inverse(x, y)
         elif code in (3347, 3348):
             lon, lat = lcc_inverse(x, y)
+        elif code is not None and lcc_params(code) is not None:
+            lon, lat = lcc_inverse(x, y, **lcc_params(code))
         else:
             raise NotImplementedError(f"no registered transform for CRS {crs_spec!r}")
     except NotImplementedError as registry_err:

@@ -62,10 +62,11 @@ def test_from_nad83_statcan_lambert_epsg3348():
 
 
 def test_unregistered_crs_raises():
-    # EPSG:2154 (RGF93 / Lambert-93): a projection family outside the
-    # registry (UTM 326xx/327xx is registered since round 3)
+    # EPSG:28992 (Amersfoort / RD New): oblique stereographic on the
+    # Bessel datum — permanently outside the numpy registry (Lambert-93,
+    # the previous example here, joined the registry in round 5)
     with pytest.raises(NotImplementedError):
-        transform_to_wgs84([0], [0], None, "EPSG:2154")
+        transform_to_wgs84([0], [0], None, "EPSG:28992")
 
 
 def test_noncompliant_output_raises():
@@ -118,7 +119,7 @@ def test_force_crs_wins_over_bounds_crs():
         "geospatial_lon_max": 280.0,
         "geospatial_lat_min": 30.0,
         "geospatial_lat_max": 40.0,
-        "geospatial_bounds_crs": "EPSG:2154",  # would dead-letter
+        "geospatial_bounds_crs": "EPSG:28992",  # would dead-letter
     }
     rec = parse_cf_document(_doc(cf, {"force_crs": WKT_0_360}))
     assert rec["geo_error"] is None
@@ -131,7 +132,7 @@ def test_unknown_crs_routes_to_geo_error():
         "geospatial_lon_max": 2.0,
         "geospatial_lat_min": 3.0,
         "geospatial_lat_max": 4.0,
-        "geospatial_bounds_crs": "EPSG:2154",
+        "geospatial_bounds_crs": "EPSG:28992",
     }
     rec = parse_cf_document(_doc(cf))
     assert rec["geo_error"] is not None

@@ -196,3 +196,47 @@ def test_polar_wkt_unsafe_datum_routes_to_dead_letter():
 def test_transverse_mercator_not_captured_by_mercator_parser():
     assert crs._mercator_wkt_params('PROJECTION["Transverse_Mercator"]') is None
     assert crs._mercator_wkt_params('METHOD["Hotine Oblique Mercator"]') is None
+
+
+def test_lambert93_epsg2154_false_origin_and_roundtrip():
+    # Lambert-93's false origin is BY DEFINITION (lon0=3, lat0=46.5) →
+    # (700000, 6600000); roundtrip pins the parameter table against the
+    # independently-implemented forward
+    from stac_populator_spark.functions.crs import lcc_forward, lcc_params
+
+    lon, lat, _ = transform_to_wgs84(
+        np.array([700_000.0]), np.array([6_600_000.0]), None, "EPSG:2154"
+    )
+    assert lon[0] == pytest.approx(3.0, abs=1e-9)
+    assert lat[0] == pytest.approx(46.5, abs=1e-9)
+    p = lcc_params(2154)
+    lons = np.linspace(-4.5, 9.5, 15)
+    lats = np.linspace(41.0, 51.0, 15)
+    X, Y = lcc_forward(lons, lats, **p)
+    lon2, lat2, _ = transform_to_wgs84(X, Y, None, "EPSG:2154")
+    assert np.abs(lon2 - lons).max() < 1e-9
+    assert np.abs(lat2 - lats).max() < 1e-9
+
+
+def test_ups_epsg_codes():
+    # EPSG:5041/5042 (UPS North/South, variant A): pole → (2e6, 2e6),
+    # and the EPSG Guidance 7-2 worked point through the code path
+    lon, lat, _ = transform_to_wgs84(
+        np.array([2_000_000.0]), np.array([2_000_000.0]), None, "EPSG:5042"
+    )
+    assert lat[0] == pytest.approx(-90.0, abs=1e-9)
+    lon, lat, _ = transform_to_wgs84(
+        np.array([3320416.75]), np.array([632668.43]), None, "EPSG:5041"
+    )
+    assert lon[0] == pytest.approx(44.0, abs=1e-7)
+    assert lat[0] == pytest.approx(73.0, abs=1e-7)
+
+
+def test_etrs89_nad83_geographic_identity_lat_first():
+    from stac_populator_spark.functions.crs import x_is_longitude
+
+    for code in ("EPSG:4258", "EPSG:4269", "EPSG:4937"):
+        assert not x_is_longitude(code)
+        lon, lat, _ = transform_to_wgs84([45.0], [6.0], None, code)
+        # lat-first: x carries latitude (the 4326/4979 convention)
+        assert lat[0] == 45.0 and lon[0] == 6.0
