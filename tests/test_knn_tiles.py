@@ -267,3 +267,47 @@ def test_knn_salted_crosses_antimeridian_like_unsalted(spark):
     # and the cross-seam pair is actually each other's nearest neighbor
     nn = {(r[0], r[1]): r[2] for r in b}
     assert nn[(1, 1)] == 2 and nn[(2, 1)] == 1
+
+
+def test_knn_exact_escalates_when_first_pass_proves_nothing(spark):
+    # r5 sf10 regression: if the initial res leaves pass 0 with ZERO
+    # proofs, the non-convergence exit must NOT fire before the first
+    # radius doubling — bailing at pass 0 collapses the whole input into
+    # the O(n^2) brute remnant (5.1e9 pairs at sf10). A uniform grid at a
+    # deliberately-too-fine res reproduces the 100%-unsat first pass;
+    # brute_budget=0 forbids the brute shortcut so the answer can only be
+    # right if the escalation engages and converges.
+    import itertools
+
+    import pandas as pd
+
+    from stac_populator_spark.operators.knn import knn_bruteforce, knn_join_exact
+
+    pts_pdf = pd.DataFrame(
+        [
+            {"id": i * 100 + j, "lon": -20.0 + i * 2.0, "lat": -20.0 + j * 2.0}
+            for i, j in itertools.product(range(15), range(15))
+        ]
+    )
+    pts = spark.createDataFrame(pts_pdf)
+    # res 2 ⇒ edge ~1.07°: the radius-1 guarantee bound (= e) is under the
+    # 2° grid spacing, so pass 0 proves nothing — but the radius-2 pass
+    # bound (2.5e ≈ 2.7°) covers the ~2° kth distances, so the escalation
+    # proves the grid interior. Pre-fix, the cnt > 0.75·prev exit fired at
+    # pass 0 and every point fell into the brute remnant.
+    got, stats = knn_join_exact(
+        pts, k=3, res=2, radius=1, brute_budget=0, return_stats=True
+    )
+    brute = {(r["id"], r["rank"]): r["neighbor_id"] for r in knn_bruteforce(pts, k=3).collect()}
+    got_m = {(r["id"], r["rank"]): r["neighbor_id"] for r in got.collect()}
+    assert got_m == brute
+    # the escalation must have proven the bulk of the grid — a brute
+    # remnant of ~everything is the pre-fix collapse this test pins
+    assert stats["brute"] < len(pts_pdf) / 2
+
+
+def test_session_uses_unix_domain_worker_sockets(spark):
+    # r5 sf10 regression: the duplex python-worker socket over loopback
+    # TCP can livelock in RTO/zero-window backoff under bidirectional
+    # Arrow volume; get_spark must default the channel to unix sockets
+    assert spark.conf.get("spark.python.unix.domain.socket.enabled") == "true"
