@@ -611,6 +611,52 @@ def _polar_wkt_params(spec: str) -> dict | None:
     return out
 
 
+def _laea_wkt_params(spec: str) -> dict | None:
+    """Lambert Azimuthal Equal Area parameters out of a PROJCS/PROJCRS
+    WKT — :func:`laea_inverse` kwargs plus ``unit``. Same datum gate as
+    the conics; polar aspects (|lat0| = 90) dead-letter (Snyder's polar
+    equations are a different branch, pyproj seam)."""
+    if not re.search(r"Lambert[ _]Azimuthal[ _]Equal[ _]Area", spec, re.IGNORECASE):
+        return None
+    if not _wkt_datum_is_conic_safe(spec):
+        raise NotImplementedError(
+            "LAEA WKT declares a datum outside WGS84/NAD83 with no null "
+            "TOWGS84 shift — routing to dead-letter (pyproj seam)"
+        )
+
+    def p(*names, default=None):
+        for nm in names:
+            m = re.search(
+                r'PARAMETER\s*\[\s*"' + nm + r'"\s*,\s*(-?[\d.eE+]+)', spec, re.IGNORECASE
+            )
+            if m:
+                return float(m.group(1))
+        return default
+
+    a, f = _wkt_ellipsoid(spec)
+    unit = _wkt_linear_unit(spec)
+    lat0 = p("latitude_of_origin", "latitude_of_center",
+             "Latitude of natural origin", default=0.0)
+    if abs(abs(lat0) - 90.0) < 1e-9:
+        raise NotImplementedError(
+            "polar-aspect LAEA is not in the numpy registry — routing to "
+            "dead-letter (pyproj seam)"
+        )
+    out = {
+        "unit": unit,
+        "a": a,
+        "f": f,
+        "lat0": lat0,
+        "lon0": p("central_meridian", "longitude_of_center",
+                  "Longitude of natural origin", default=0.0),
+    }
+    fe, fe_unit = _wkt_param(spec, "false_easting", "False easting", default=0.0)
+    fn, fn_unit = _wkt_param(spec, "false_northing", "False northing", default=0.0)
+    out["fe"] = fe * (fe_unit if fe_unit is not None else unit)
+    out["fn"] = fn * (fn_unit if fn_unit is not None else unit)
+    return out
+
+
 def _mercator_wkt_params(spec: str) -> dict | None:
     """Mercator parameters out of a PROJCS/PROJCRS WKT —
     :func:`mercator_inverse` kwargs plus ``unit``. Covers Mercator_1SP /
@@ -839,6 +885,104 @@ def mercator_forward(
     return xx, fn - a * k0 * np.log(_snyder_t(phi, e))
 
 
+def _authalic_q(phi, e):
+    """Snyder eq 3-12: the authalic-latitude auxiliary q."""
+    es = e * np.sin(phi)
+    return (1 - e * e) * (
+        np.sin(phi) / (1 - es * es) - (1 / (2 * e)) * np.log((1 - es) / (1 + es))
+    )
+
+
+def laea_inverse(
+    x,
+    y,
+    a: float = WGS84_A,
+    f: float = GRS80_F,
+    lat0: float = 52.0,
+    lon0: float = 10.0,
+    fe: float = 4_321_000.0,
+    fn: float = 3_210_000.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Ellipsoidal Lambert Azimuthal Equal Area inverse, oblique aspect —
+    Snyder pp.187-190 (EPSG method 9820). Defaults are EPSG:3035
+    (ETRS89-extended / LAEA Europe — the EU INSPIRE grid). The authalic →
+    geodetic conversion uses the e⁶ series (Snyder eq 3-18; error ≲ 1e-11
+    rad on GRS80). Polar aspects (|lat0| = 90) are not wired here —
+    Snyder's polar equations differ and no registered code needs them."""
+    e = np.sqrt(2 * f - f * f)
+    p0 = np.radians(lat0)
+    qp = _authalic_q(np.pi / 2, e)
+    b1 = np.arcsin(_authalic_q(p0, e) / qp)
+    rq = a * np.sqrt(qp / 2)
+    m1 = np.cos(p0) / np.sqrt(1 - (e * np.sin(p0)) ** 2)
+    d = a * m1 / (rq * np.cos(b1))
+    xp = np.asarray(x, dtype=np.float64) - fe
+    yp = np.asarray(y, dtype=np.float64) - fn
+    rho = np.hypot(xp / d, d * yp)
+    with np.errstate(invalid="ignore"):
+        ce = 2 * np.arcsin(rho / (2 * rq))
+    safe_rho = np.where(rho == 0, 1.0, rho)
+    beta = np.arcsin(
+        np.cos(ce) * np.sin(b1) + d * yp * np.sin(ce) * np.cos(b1) / safe_rho
+    )
+    beta = np.where(rho == 0, b1, beta)
+    lam = np.arctan2(
+        xp * np.sin(ce),
+        d * rho * np.cos(b1) * np.cos(ce) - d * d * yp * np.sin(b1) * np.sin(ce),
+    )
+    e2 = e * e
+    phi = (
+        beta
+        + (e2 / 3 + 31 * e2 * e2 / 180 + 517 * e2 * e2 * e2 / 5040) * np.sin(2 * beta)
+        + (23 * e2 * e2 / 360 + 251 * e2 * e2 * e2 / 3780) * np.sin(4 * beta)
+        + (761 * e2 * e2 * e2 / 45360) * np.sin(6 * beta)
+    )
+    return _wrap_lon(lon0 + np.degrees(lam)), np.degrees(phi)
+
+
+def laea_forward(
+    lon,
+    lat,
+    a: float = WGS84_A,
+    f: float = GRS80_F,
+    lat0: float = 52.0,
+    lon0: float = 10.0,
+    fe: float = 4_321_000.0,
+    fn: float = 3_210_000.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Ellipsoidal LAEA forward (Snyder eqs 24-27…24-29) — pins
+    :func:`laea_inverse` by roundtrip."""
+    e = np.sqrt(2 * f - f * f)
+    p0 = np.radians(lat0)
+    qp = _authalic_q(np.pi / 2, e)
+    b1 = np.arcsin(_authalic_q(p0, e) / qp)
+    rq = a * np.sqrt(qp / 2)
+    m1 = np.cos(p0) / np.sqrt(1 - (e * np.sin(p0)) ** 2)
+    d = a * m1 / (rq * np.cos(b1))
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    beta = np.arcsin(np.clip(_authalic_q(phi, e) / qp, -1.0, 1.0))
+    b = rq * np.sqrt(
+        2 / (1 + np.sin(b1) * np.sin(beta) + np.cos(b1) * np.cos(beta) * np.cos(lam))
+    )
+    xx = fe + b * d * np.cos(beta) * np.sin(lam)
+    yy = fn + (b / d) * (
+        np.cos(b1) * np.sin(beta) - np.sin(b1) * np.cos(beta) * np.cos(lam)
+    )
+    return xx, yy
+
+
+def laea_params(code: int) -> dict | None:
+    """EPSG LAEA codes on WGS84-equivalent datums → :func:`laea_inverse`
+    kwargs (ETRS89 ≡ WGS84 at the metre level, the registered
+    datum-tolerance precedent)."""
+    return {
+        # ETRS89-extended / LAEA Europe (EU INSPIRE standard grid)
+        3035: {"a": WGS84_A, "f": GRS80_F, "lat0": 52.0, "lon0": 10.0,
+               "fe": 4_321_000.0, "fn": 3_210_000.0},
+    }.get(code)
+
+
 def polar_stereo_params(code: int) -> dict | None:
     """EPSG WGS84 polar-stereographic codes → variant-B parameters
     (EPSG registry definitions; all metres, FE = FN = 0)."""
@@ -1004,10 +1148,17 @@ def transform_to_wgs84(x, y, z=None, crs_spec="EPSG:4326"):
             if utm is None and tm_wkt is None and conic is None and polar is None
             else None
         )
+        laea_wkt = (
+            _laea_wkt_params(spec)
+            if utm is None and tm_wkt is None and conic is None
+            and polar is None and polar_wkt is None and code != 3035
+            else None
+        )
         merc_wkt = (
             _mercator_wkt_params(spec)
             if utm is None and tm_wkt is None and conic is None
-            and polar is None and polar_wkt is None and code not in (3857, 3395)
+            and polar is None and polar_wkt is None and laea_wkt is None
+            and code not in (3857, 3395)
             else None
         )
         if utm is not None:
@@ -1062,6 +1213,15 @@ def transform_to_wgs84(x, y, z=None, crs_spec="EPSG:4326"):
             lon, lat = lcc_inverse(x, y)
         elif code is not None and lcc_params(code) is not None:
             lon, lat = lcc_inverse(x, y, **lcc_params(code))
+        elif code is not None and laea_params(code) is not None:
+            lon, lat = laea_inverse(x, y, **laea_params(code))
+        elif laea_wkt is not None:
+            unit = laea_wkt.pop("unit", 1.0)
+            lon, lat = laea_inverse(
+                np.asarray(x, dtype=np.float64) * unit,
+                np.asarray(y, dtype=np.float64) * unit,
+                **laea_wkt,
+            )
         else:
             raise NotImplementedError(f"no registered transform for CRS {crs_spec!r}")
     except NotImplementedError as registry_err:

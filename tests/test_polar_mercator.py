@@ -240,3 +240,56 @@ def test_etrs89_nad83_geographic_identity_lat_first():
         lon, lat, _ = transform_to_wgs84([45.0], [6.0], None, code)
         # lat-first: x carries latitude (the 4326/4979 convention)
         assert lat[0] == 45.0 and lon[0] == 6.0
+
+
+_WKT1_3035 = """PROJCS["ETRS89-extended / LAEA Europe",
+    GEOGCS["ETRS89", DATUM["European_Terrestrial_Reference_System_1989",
+        SPHEROID["GRS 1980",6378137,298.257222101],
+        TOWGS84[0,0,0,0,0,0,0]],
+        PRIMEM["Greenwich",0], UNIT["degree",0.0174532925199433]],
+    PROJECTION["Lambert_Azimuthal_Equal_Area"],
+    PARAMETER["latitude_of_center",52],
+    PARAMETER["longitude_of_center",10],
+    PARAMETER["false_easting",4321000],
+    PARAMETER["false_northing",3210000],
+    UNIT["metre",1]]"""
+
+
+def test_laea_3035_false_origin_and_roundtrip():
+    # EPSG:3035 false origin is BY DEFINITION (10E, 52N) → (4321000, 3210000)
+    from stac_populator_spark.functions.crs import laea_forward
+
+    lon, lat, _ = transform_to_wgs84(
+        np.array([4_321_000.0]), np.array([3_210_000.0]), None, "EPSG:3035"
+    )
+    assert lon[0] == pytest.approx(10.0, abs=1e-9)
+    # authalic→geodetic series truncation ≈ 3e-9 deg (~0.3 mm)
+    assert lat[0] == pytest.approx(52.0, abs=1e-7)
+    lons = np.linspace(-10.0, 30.0, 15)
+    lats = np.linspace(35.0, 70.0, 15)
+    X, Y = laea_forward(lons, lats)
+    lon2, lat2, _ = transform_to_wgs84(X, Y, None, "EPSG:3035")
+    assert np.abs(lon2 - lons).max() < 1e-7
+    assert np.abs(lat2 - lats).max() < 1e-7
+
+
+def test_laea_wkt1_matches_epsg_code_path():
+    from stac_populator_spark.functions.crs import laea_forward
+
+    lons = np.linspace(-8.0, 28.0, 9)
+    lats = np.linspace(36.0, 68.0, 9)
+    X, Y = laea_forward(lons, lats)
+    lon_wkt, lat_wkt, _ = transform_to_wgs84(X, Y, None, _WKT1_3035)
+    lon_code, lat_code, _ = transform_to_wgs84(X, Y, None, "EPSG:3035")
+    assert np.abs(lon_wkt - lon_code).max() < 1e-12
+    assert np.abs(lat_wkt - lat_code).max() < 1e-12
+
+
+def test_laea_polar_aspect_dead_letters():
+    wkt = _WKT1_3035.replace(
+        'PARAMETER["latitude_of_center",52]', 'PARAMETER["latitude_of_center",90]'
+    )
+    if crs._try_pyproj() is not None:
+        pytest.skip("pyproj wheel present — dead-letter branch not reachable")
+    with pytest.raises(NotImplementedError):
+        transform_to_wgs84(np.array([0.0]), np.array([0.0]), None, wkt)
