@@ -614,8 +614,8 @@ def _polar_wkt_params(spec: str) -> dict | None:
 def _laea_wkt_params(spec: str) -> dict | None:
     """Lambert Azimuthal Equal Area parameters out of a PROJCS/PROJCRS
     WKT — :func:`laea_inverse` kwargs plus ``unit``. Same datum gate as
-    the conics; polar aspects (|lat0| = 90) dead-letter (Snyder's polar
-    equations are a different branch, pyproj seam)."""
+    the conics; oblique and polar aspects both resolve (laea_inverse
+    branches on |lat0| = 90)."""
     if not re.search(r"Lambert[ _]Azimuthal[ _]Equal[ _]Area", spec, re.IGNORECASE):
         return None
     if not _wkt_datum_is_conic_safe(spec):
@@ -637,11 +637,6 @@ def _laea_wkt_params(spec: str) -> dict | None:
     unit = _wkt_linear_unit(spec)
     lat0 = p("latitude_of_origin", "latitude_of_center",
              "Latitude of natural origin", default=0.0)
-    if abs(abs(lat0) - 90.0) < 1e-9:
-        raise NotImplementedError(
-            "polar-aspect LAEA is not in the numpy registry — routing to "
-            "dead-letter (pyproj seam)"
-        )
     out = {
         "unit": unit,
         "a": a,
@@ -907,29 +902,39 @@ def laea_inverse(
     Snyder pp.187-190 (EPSG method 9820). Defaults are EPSG:3035
     (ETRS89-extended / LAEA Europe — the EU INSPIRE grid). The authalic →
     geodetic conversion uses the e⁶ series (Snyder eq 3-18; error ≲ 1e-11
-    rad on GRS80). Polar aspects (|lat0| = 90) are not wired here —
-    Snyder's polar equations differ and no registered code needs them."""
+    rad on GRS80). Polar aspects (|lat0| = 90, Snyder eqs 24-31…33 —
+    e.g. EPSG:3571-3576 pan-Arctic grids) take their own branch:
+    ρ = a·√(q_p ∓ q), λ from atan2 about the pole."""
     e = np.sqrt(2 * f - f * f)
     p0 = np.radians(lat0)
     qp = _authalic_q(np.pi / 2, e)
-    b1 = np.arcsin(_authalic_q(p0, e) / qp)
-    rq = a * np.sqrt(qp / 2)
-    m1 = np.cos(p0) / np.sqrt(1 - (e * np.sin(p0)) ** 2)
-    d = a * m1 / (rq * np.cos(b1))
     xp = np.asarray(x, dtype=np.float64) - fe
     yp = np.asarray(y, dtype=np.float64) - fn
-    rho = np.hypot(xp / d, d * yp)
-    with np.errstate(invalid="ignore"):
-        ce = 2 * np.arcsin(rho / (2 * rq))
-    safe_rho = np.where(rho == 0, 1.0, rho)
-    beta = np.arcsin(
-        np.cos(ce) * np.sin(b1) + d * yp * np.sin(ce) * np.cos(b1) / safe_rho
-    )
-    beta = np.where(rho == 0, b1, beta)
-    lam = np.arctan2(
-        xp * np.sin(ce),
-        d * rho * np.cos(b1) * np.cos(ce) - d * d * yp * np.sin(b1) * np.sin(ce),
-    )
+    if abs(abs(lat0) - 90.0) < 1e-9:
+        south = lat0 < 0
+        sgn = -1.0 if south else 1.0
+        rho = np.hypot(xp, yp)
+        q = sgn * (qp - (rho / a) ** 2)
+        beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))
+        beta = np.where(rho == 0, sgn * np.pi / 2, beta)
+        lam = np.arctan2(xp, -sgn * yp)  # north: atan2(x, −y); south: atan2(x, y)
+    else:
+        b1 = np.arcsin(_authalic_q(p0, e) / qp)
+        rq = a * np.sqrt(qp / 2)
+        m1 = np.cos(p0) / np.sqrt(1 - (e * np.sin(p0)) ** 2)
+        d = a * m1 / (rq * np.cos(b1))
+        rho = np.hypot(xp / d, d * yp)
+        with np.errstate(invalid="ignore"):
+            ce = 2 * np.arcsin(rho / (2 * rq))
+        safe_rho = np.where(rho == 0, 1.0, rho)
+        beta = np.arcsin(
+            np.cos(ce) * np.sin(b1) + d * yp * np.sin(ce) * np.cos(b1) / safe_rho
+        )
+        beta = np.where(rho == 0, b1, beta)
+        lam = np.arctan2(
+            xp * np.sin(ce),
+            d * rho * np.cos(b1) * np.cos(ce) - d * d * yp * np.sin(b1) * np.sin(ce),
+        )
     e2 = e * e
     phi = (
         beta
@@ -950,18 +955,23 @@ def laea_forward(
     fe: float = 4_321_000.0,
     fn: float = 3_210_000.0,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Ellipsoidal LAEA forward (Snyder eqs 24-27…24-29) — pins
-    :func:`laea_inverse` by roundtrip."""
+    """Ellipsoidal LAEA forward (Snyder eqs 24-27…24-29 oblique,
+    24-23/24 polar) — pins :func:`laea_inverse` by roundtrip."""
     e = np.sqrt(2 * f - f * f)
     p0 = np.radians(lat0)
     qp = _authalic_q(np.pi / 2, e)
+    phi = np.radians(np.asarray(lat, dtype=np.float64))
+    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
+    q = _authalic_q(phi, e)
+    if abs(abs(lat0) - 90.0) < 1e-9:
+        sgn = -1.0 if lat0 < 0 else 1.0
+        rho = a * np.sqrt(np.maximum(qp - sgn * q, 0.0))
+        return fe + rho * np.sin(lam), fn - sgn * rho * np.cos(lam)
     b1 = np.arcsin(_authalic_q(p0, e) / qp)
     rq = a * np.sqrt(qp / 2)
     m1 = np.cos(p0) / np.sqrt(1 - (e * np.sin(p0)) ** 2)
     d = a * m1 / (rq * np.cos(b1))
-    phi = np.radians(np.asarray(lat, dtype=np.float64))
-    lam = np.radians(np.asarray(lon, dtype=np.float64) - lon0)
-    beta = np.arcsin(np.clip(_authalic_q(phi, e) / qp, -1.0, 1.0))
+    beta = np.arcsin(np.clip(q / qp, -1.0, 1.0))
     b = rq * np.sqrt(
         2 / (1 + np.sin(b1) * np.sin(beta) + np.cos(b1) * np.cos(beta) * np.cos(lam))
     )
@@ -976,11 +986,17 @@ def laea_params(code: int) -> dict | None:
     """EPSG LAEA codes on WGS84-equivalent datums → :func:`laea_inverse`
     kwargs (ETRS89 ≡ WGS84 at the metre level, the registered
     datum-tolerance precedent)."""
-    return {
+    table = {
         # ETRS89-extended / LAEA Europe (EU INSPIRE standard grid)
         3035: {"a": WGS84_A, "f": GRS80_F, "lat0": 52.0, "lon0": 10.0,
                "fe": 4_321_000.0, "fn": 3_210_000.0},
-    }.get(code)
+    }
+    # WGS 84 / North Pole LAEA family (polar aspect), lon0 per region
+    for c, lon0 in ((3571, 180.0), (3572, -150.0), (3573, -100.0),
+                    (3574, -40.0), (3575, 10.0), (3576, 90.0)):
+        table[c] = {"a": WGS84_A, "f": WGS84_F, "lat0": 90.0, "lon0": lon0,
+                    "fe": 0.0, "fn": 0.0}
+    return table.get(code)
 
 
 def polar_stereo_params(code: int) -> dict | None:

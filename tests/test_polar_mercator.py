@@ -285,11 +285,45 @@ def test_laea_wkt1_matches_epsg_code_path():
     assert np.abs(lat_wkt - lat_code).max() < 1e-12
 
 
-def test_laea_polar_aspect_dead_letters():
+@pytest.mark.parametrize("code,lon0", [(3571, 180.0), (3573, -100.0), (3575, 10.0)])
+def test_laea_polar_aspect_north_pole_family(code, lon0):
+    # WGS 84 / North Pole LAEA (EPSG:3571-3576): pole → (0,0) exactly;
+    # roundtrip over the Arctic cap through the dispatcher
+    from stac_populator_spark.functions.crs import laea_forward, laea_params
+
+    p = laea_params(code)
+    assert p["lon0"] == lon0
+    x, y = laea_forward(0.0, 90.0, **p)
+    assert abs(float(x)) < 1e-6 and abs(float(y)) < 1e-6
+    lons = np.linspace(-179.0, 179.0, 13)
+    lats = np.linspace(45.0, 89.5, 13)
+    LO, LA = np.meshgrid(lons, lats)
+    X, Y = laea_forward(LO.ravel(), LA.ravel(), **p)
+    lon, lat, _ = transform_to_wgs84(X, Y, None, f"EPSG:{code}")
+    dlon = np.abs(((lon - LO.ravel() + 180.0) % 360.0) - 180.0)
+    assert dlon.max() < 1e-7
+    assert np.abs(lat - LA.ravel()).max() < 1e-7
+
+
+def test_laea_polar_wkt_matches_code_path():
     wkt = _WKT1_3035.replace(
         'PARAMETER["latitude_of_center",52]', 'PARAMETER["latitude_of_center",90]'
+    ).replace(
+        'PARAMETER["longitude_of_center",10]', 'PARAMETER["longitude_of_center",10]'
+    ).replace(
+        'PARAMETER["false_easting",4321000]', 'PARAMETER["false_easting",0]'
+    ).replace(
+        'PARAMETER["false_northing",3210000]', 'PARAMETER["false_northing",0]'
     )
-    if crs._try_pyproj() is not None:
-        pytest.skip("pyproj wheel present — dead-letter branch not reachable")
-    with pytest.raises(NotImplementedError):
-        transform_to_wgs84(np.array([0.0]), np.array([0.0]), None, wkt)
+    from stac_populator_spark.functions.crs import laea_forward, laea_params
+
+    # same parameters as EPSG:3575 (North Pole LAEA Europe) modulo the
+    # GRS80-vs-WGS84 flattening (10^-9 difference, inside the tolerance)
+    p = laea_params(3575)
+    lons = np.linspace(-170.0, 170.0, 9)
+    lats = np.linspace(50.0, 88.0, 9)
+    X, Y = laea_forward(lons, lats, **p)
+    lon_wkt, lat_wkt, _ = transform_to_wgs84(X, Y, None, wkt)
+    lon_code, lat_code, _ = transform_to_wgs84(X, Y, None, "EPSG:3575")
+    assert np.abs(lon_wkt - lon_code).max() < 1e-7
+    assert np.abs(lat_wkt - lat_code).max() < 1e-7
