@@ -1038,8 +1038,31 @@ def _epsg_code(crs_spec) -> int | None:
     m = re.fullmatch(r"(?:EPSG:)?(\d{4,5})", s, re.IGNORECASE)
     if m:
         return int(m.group(1))
+    # OGC identifier forms (STAC/OGC-API payloads carry these verbatim):
+    #   urn:ogc:def:crs:EPSG::4326   urn:ogc:def:crs:EPSG:9.9.1:4326
+    #   http://www.opengis.net/def/crs/EPSG/0/4326
+    m = re.fullmatch(
+        r"urn:ogc:def:crs:EPSG:[^:]*:(\d{4,5})", s, re.IGNORECASE
+    ) or re.fullmatch(
+        r"https?://www\.opengis\.net/def/crs/EPSG/[^/]*/(\d{4,5})", s, re.IGNORECASE
+    )
+    if m:
+        return int(m.group(1))
     m = re.search(r'ID\s*\[\s*"EPSG"\s*,\s*(\d+)\s*\]\s*\]\s*$', s)
     return int(m.group(1)) if m else None
+
+
+_CRS84_RE = re.compile(
+    r"^(?:OGC:)?CRS84$|^urn:ogc:def:crs:OGC:[^:]*:CRS84$"
+    r"|^https?://www\.opengis\.net/def/crs/OGC/[^/]*/CRS84$",
+    re.IGNORECASE,
+)
+
+
+def _is_crs84(crs_spec) -> bool:
+    """OGC:CRS84 — WGS84 with LON-FIRST axis order, the CRS the STAC spec
+    mandates for item geometries. Identity transform, east-first."""
+    return bool(_CRS84_RE.match(_spec_text(crs_spec).strip()))
 
 
 def x_is_longitude(crs_spec) -> bool:
@@ -1050,9 +1073,9 @@ def x_is_longitude(crs_spec) -> bool:
         name, direction = m.group(1), m.group(2)
         return bool(_LON_AXIS_RE.search(name)) or direction.lower() in ("east", "west")
     code = _epsg_code(crs_spec)
-    if code in GEOGRAPHIC_WGS84_EQUIV:
+    if code in GEOGRAPHIC_WGS84_EQUIV and not _is_crs84(crs_spec):
         return False  # EPSG geographic: latitude first
-    return True  # projected CRSs: easting first
+    return True  # projected CRSs (and OGC:CRS84): easting/longitude first
 
 
 def crs_axis_units(crs_spec) -> list[str]:
@@ -1194,7 +1217,7 @@ def transform_to_wgs84(x, y, z=None, crs_spec="EPSG:4326"):
                 np.asarray(y, dtype=np.float64) * unit,
                 **conic,
             )
-        elif code in GEOGRAPHIC_WGS84_EQUIV or (
+        elif code in GEOGRAPHIC_WGS84_EQUIV or _is_crs84(crs_spec) or (
             re.search(r"GEOGCRS|GEOGCS", _spec_text(crs_spec))
             and not re.match(r"\s*(PROJCRS|PROJCS)\s*\[", _spec_text(crs_spec))
         ):

@@ -327,3 +327,39 @@ def test_laea_polar_wkt_matches_code_path():
     lon_code, lat_code, _ = transform_to_wgs84(X, Y, None, "EPSG:3575")
     assert np.abs(lon_wkt - lon_code).max() < 1e-7
     assert np.abs(lat_wkt - lat_code).max() < 1e-7
+
+
+def test_ogc_urn_and_uri_identifiers_resolve():
+    # STAC/OGC-API payloads carry URN/URI identifiers verbatim
+    from stac_populator_spark.functions.crs import x_is_longitude
+
+    for spec in (
+        "urn:ogc:def:crs:EPSG::4326",
+        "urn:ogc:def:crs:EPSG:9.9.1:4326",
+        "http://www.opengis.net/def/crs/EPSG/0/4326",
+    ):
+        assert not x_is_longitude(spec)  # EPSG:4326 is lat-first
+        lon, lat, _ = transform_to_wgs84([45.0], [6.0], None, spec)
+        assert lat[0] == 45.0 and lon[0] == 6.0
+    # projected code through the URN form
+    lon, lat, _ = transform_to_wgs84(
+        np.array([4_321_000.0]), np.array([3_210_000.0]), None,
+        "urn:ogc:def:crs:EPSG::3035",
+    )
+    assert lon[0] == pytest.approx(10.0, abs=1e-9)
+
+
+def test_ogc_crs84_is_lon_first_identity():
+    # OGC:CRS84 = WGS84 with LON-FIRST axes — the CRS the STAC spec
+    # mandates for item geometries; must NOT be swapped like EPSG:4326
+    from stac_populator_spark.functions.crs import x_is_longitude
+
+    for spec in (
+        "OGC:CRS84",
+        "CRS84",
+        "urn:ogc:def:crs:OGC:1.3:CRS84",
+        "http://www.opengis.net/def/crs/OGC/1.3/CRS84",
+    ):
+        assert x_is_longitude(spec)
+        lon, lat, _ = transform_to_wgs84([6.0], [45.0], None, spec)
+        assert lon[0] == 6.0 and lat[0] == 45.0
