@@ -54,11 +54,23 @@ def redact_pii(df: DataFrame, text_col: str = "text",
     return out.withColumn(out_col, redacted)
 
 
-def ngram_hashes(text_col, n: int = 5) -> F.Column:
+def words_col(text_col) -> F.Column:
+    """Whitespace token array — materialize this in its OWN projection
+    before handing it to :func:`ngram_hashes_from_words`."""
+    return F.split(F.trim(text_col), r"\s+")
+
+
+def ngram_hashes_from_words(words: F.Column, n: int = 5) -> F.Column:
     """Distinct xxhash64 hashes of word n-grams (the decontamination
     fingerprint unit; the GPT-3 filter used 13-grams — pick ``n`` to the
-    corpus' typical document length)."""
-    words = F.split(F.trim(text_col), r"\s+")
+    corpus' typical document length).
+
+    ``words`` MUST be a reference to an already-computed array column
+    (guide §4/§1 measurement, r6): an expression embedded in a lambda body
+    is re-evaluated PER ARRAY ELEMENT — higher-order functions run
+    interpreted and nothing eliminates the common subexpression — so an
+    inline ``split()`` here cost O(tokens²) regex work per document
+    (measured 40.6s → 4.7s on the sf1 corpus gram stage alone)."""
     # positions 1..m-n+1 → sequence 0..m-n inclusive (m-n+1 grams)
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
@@ -69,6 +81,13 @@ def ngram_hashes(text_col, n: int = 5) -> F.Column:
             F.array(F.xxhash64(F.concat_ws(" ", words)))
         )
     )
+
+
+def ngram_hashes(text_col, n: int = 5) -> F.Column:
+    """Single-expression spelling of :func:`ngram_hashes_from_words` —
+    back-compat only. The inline ``split`` re-evaluates per element inside
+    the transform lambda; hot paths must use the two-stage form."""
+    return ngram_hashes_from_words(words_col(text_col), n)
 
 
 def decontaminate(
@@ -89,13 +108,18 @@ def decontaminate(
     exchange is the per-doc hit aggregation, and it carries only
     (id, hash) pairs that actually matched.
     """
+    # two-stage projection: the token array materializes once per row in a
+    # child Project; the gram lambda then references it instead of
+    # re-splitting per element (see ngram_hashes_from_words). Values are
+    # identical — same expressions, one evaluation order.
     eval_hashes = (
-        eval_set.select(F.explode(ngram_hashes(F.col(text_col), n)).alias("h"))
+        eval_set.select(words_col(F.col(text_col)).alias("_w"))
+        .select(F.explode(ngram_hashes_from_words(F.col("_w"), n)).alias("h"))
         .distinct()
     )
     corpus_shingled = corpus.select(
-        F.col(id_col), F.explode(ngram_hashes(F.col(text_col), n)).alias("h")
-    )
+        F.col(id_col), words_col(F.col(text_col)).alias("_w")
+    ).select(F.col(id_col), F.explode(ngram_hashes_from_words(F.col("_w"), n)).alias("h"))
     # hits is tiny (matched docs only) but its subtree holds the full
     # corpus shingle explode; the clean/contaminated consumers share its
     # aggregate stage through AQE ReuseExchange (r5: the former
