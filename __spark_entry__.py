@@ -846,14 +846,19 @@ def _events_props_json(spark, sf_dir):
 
 
 def _jaccard_pairs(spark, sf_dir):
-    from stac_populator_spark.operators.dedup import shingles_col
+    from stac_populator_spark.operators.dedup import _shingles_from_sql, _toks_sql
 
     d = _t(spark, sf_dir, "documents").filter(F.size(F.split(F.trim("text"), r"\s+")) >= 2)
-    a = d.filter(F.col("doc_id") % 10 == 0).select(
-        F.col("doc_id").alias("a"), shingles_col("text", 2).alias("sh_a")
+    # two-stage: token array materialized before the shingle lambda (the
+    # inline split re-evaluates per element — r6 finding); values identical
+    a = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .selectExpr("doc_id AS a", f"{_toks_sql('text')} AS _w")
+        .selectExpr("a", f"{_shingles_from_sql('_w', 2)} AS sh_a")
     )
-    b = d.select((F.col("doc_id") - 1).alias("a"), F.col("doc_id").alias("b"),
-                 shingles_col("text", 2).alias("sh_b"))
+    b = d.selectExpr(
+        "doc_id - 1 AS a", "doc_id AS b", f"{_toks_sql('text')} AS _w"
+    ).selectExpr("a", "b", f"{_shingles_from_sql('_w', 2)} AS sh_b")
     j = a.join(b, "a")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))

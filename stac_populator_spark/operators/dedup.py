@@ -44,18 +44,52 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingles_col(text_col: str = "text", n: int = 3) -> F.Column:
-    """Distinct word n-gram shingles as array<string> (JVM transform)."""
+    """Distinct word n-gram shingles as array<string> (JVM transform).
+    Single-expression spelling — the inline split re-evaluates per array
+    element inside the transform lambda (see :func:`_shingles_from_sql`);
+    hot paths should materialize the token array first."""
     return F.expr(_shingles_sql(text_col, n))
+
+
+def _toks_sql(text_col: str = "text") -> str:
+    return f"split(trim(`{text_col}`), '\\\\s+')"
+
+
+def _shingles_from_sql(words_col: str, n: int = 3) -> str:
+    """Shingle SQL over an already-materialized token-array column.
+
+    The token array must live in its own child projection: lambda bodies
+    re-evaluate embedded expressions PER ARRAY ELEMENT (higher-order
+    functions are interpreted, no subexpression elimination), so an
+    inline ``split`` inside the slice re-ran the regex once per shingle —
+    O(tokens²) per doc (r6 finding, same as scrub.ngram_hashes_from_words).
+    """
+    return (
+        f"array_distinct(transform("
+        f"sequence(0, greatest(size(`{words_col}`) - {n}, 0)), "
+        f"i -> concat_ws(' ', slice(`{words_col}`, i + 1, {n}))))"
+    )
 
 
 def _shingles_sql(text_col: str = "text", n: int = 3) -> str:
     """SQL spelling of :func:`shingles_col` (identical parsed expression;
     one JVM parse instead of ~40 py4j roundtrips)."""
-    toks = f"split(trim(`{text_col}`), '\\\\s+')"
+    toks = _toks_sql(text_col)
     return (
         f"array_distinct(transform("
         f"sequence(0, greatest(size({toks}) - {n}, 0)), "
         f"i -> concat_ws(' ', slice({toks}, i + 1, {n}))))"
+    )
+
+
+def shingles_two_stage(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 3,
+                       out_col: str = "sh") -> DataFrame:
+    """(id, shingles) with the token array materialized in a child
+    projection — the fast spelling of ``select(id, shingles_col(...))``
+    (identical values; see :func:`_shingles_from_sql`)."""
+    return df.selectExpr(f"`{id_col}`", f"{_toks_sql(text_col)} AS _w").selectExpr(
+        f"`{id_col}`", f"{_shingles_from_sql('_w', n)} AS `{out_col}`"
     )
 
 
@@ -74,8 +108,15 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     plus a full shuffle of per-doc partials; values are bit-identical,
     pinned by tests/test_plans.py::test_minhash_signatures_zero_exchange.)
     """
-    hs = f"transform({_shingles_sql(text_col)}, s -> xxhash64(s))"
-    out = df.selectExpr(f"`{id_col}`", f"{hs} AS _hs")
+    # token array → shingles → hashes across THREE projections: each
+    # lambda references the previous stage's materialized column, never an
+    # inline subexpression (per-element re-evaluation, see
+    # :func:`_shingles_from_sql`); values are bit-identical
+    out = (
+        df.selectExpr(f"`{id_col}`", f"{_toks_sql(text_col)} AS _w")
+        .selectExpr(f"`{id_col}`", f"{_shingles_from_sql('_w')} AS _sh")
+        .selectExpr(f"`{id_col}`", "transform(_sh, s -> xxhash64(s)) AS _hs")
+    )
     # SQL-string assembly (r5, same rationale as simhash_signature): the
     # former 64 Column-DSL lambda columns cost ~1.3 s of driver py4j per
     # plan build; the parsed expressions (and therefore the signatures)
@@ -151,7 +192,7 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """Exact shingle-Jaccard verification of candidate pairs (the
     verify-after-LSH stage). Join is on ids — candidates are few."""
-    sh = df.select(F.col(id_col), shingles_col(text_col, n).alias("sh"))
+    sh = shingles_two_stage(df, text_col, id_col, n, out_col="sh")
     j = (
         pairs.join(sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a")), "a")
         .join(sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b")), "b")

@@ -399,7 +399,15 @@ def knn_join_exact(
     radius_i = radius
     prev_cnt = n_total
     for _ in range(0 if n_total * n_total <= brute_budget else max_escalations):
-        ring = _ring_topk(remaining, pts, k=k, res=res, radius=radius_i)
+        # lazy checkpoint: the ring pass (join + haversine + window — the
+        # expensive subtree) is materialized ONCE by the eager `unsat`
+        # checkpoint below and its RDD is then REUSED by this escalation's
+        # done_parts branch in the final job — without it the full ring
+        # join re-executed per escalation inside the final union (r6:
+        # measured 2× the ring cost per escalation at sf1)
+        ring = _ring_topk(remaining, pts, k=k, res=res, radius=radius_i).localCheckpoint(
+            eager=False
+        )
         e = edge_deg(res)
         d_deg_safe = max(
             1.5 * e * (radius_i + 1) - 2.0 * e, e * radius_i * (3.0 ** 0.5) / 2.0

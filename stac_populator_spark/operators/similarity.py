@@ -17,6 +17,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def dot_expr(a, b) -> F.Column:
@@ -33,6 +34,137 @@ def cosine_expr(a, b) -> F.Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+# ---------------------------------------------------------------------------
+# Batch scoring kernels (r6, guide §4.2): the former shape scored every
+# (corpus row × query) PAIR through either interpreted higher-order JVM
+# expressions (zip_with+aggregate cosine — ~10µs/pair) or a per-pair-row
+# pandas UDF (ADC lookup — one np.asarray per pair). Both are O(n·q) rows
+# of per-row overhead. These kernels stream the CORPUS ONCE through
+# mapInArrow and score all queries per Arrow batch with vectorized numpy,
+# emitting only per-batch top-k/shortlist candidates — the JVM↔Python
+# boundary carries n rows in and ≈ batches·q·k rows out.
+#
+# Bit-exactness contract (results must hash identically to the pair
+# formulation): dot products and norms accumulate with an explicit
+# per-dimension left-fold loop — acc = (((0 + x1·y1) + x2·y2) + …) — the
+# exact IEEE-double operation order of zip_with+aggregate; norms use the
+# same fold; cos = dot / (norm_q · norm_c) in the same order; per-batch
+# top-k uses the same (cos desc, id asc) total order as the window rank,
+# so the union of per-batch top-k provably contains the global top-k and
+# the final (unchanged) window reproduces identical rows. ADC scores
+# replicate the former kernel's exact numpy calls (same gather + same
+# .sum(axis=1) pairwise reduction on the same dtype/layout).
+# ---------------------------------------------------------------------------
+
+
+def _np_queries(queries: DataFrame, query_id_col: str, vec_col: str):
+    """Collect the (dim-table-small by contract) query set driver-side:
+    (ids int64, Q (q, d) float64) — same rule as _pq_query_luts."""
+    qpdf = queries.select(F.col(query_id_col), F.col(vec_col)).toPandas()
+    qids = qpdf[query_id_col].to_numpy().astype(np.int64, copy=False)
+    if len(qpdf) == 0:
+        return qids, np.zeros((0, 0))
+    Q = np.stack(qpdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+    return qids, Q
+
+
+def _seq_dots(M: np.ndarray, Q: np.ndarray) -> np.ndarray:
+    """(n, q) dot products in zip_with+aggregate's left-fold order."""
+    acc = np.zeros((M.shape[0], Q.shape[0]))
+    for j in range(M.shape[1]):
+        acc += M[:, j : j + 1] * Q[:, j][None, :]
+    return acc
+
+
+def _seq_norms(M: np.ndarray) -> np.ndarray:
+    """Row L2 norms in norm_expr's left-fold order (acc + v·v, then sqrt)."""
+    acc = np.zeros(M.shape[0])
+    for j in range(M.shape[1]):
+        acc += M[:, j] * M[:, j]
+    return np.sqrt(acc)
+
+
+def _batch_mat(batch, col: str) -> np.ndarray:
+    """Arrow list<floatXX> column → (n, d) float64 matrix."""
+    arr = batch.column(col)
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    flat = np.asarray(flat, dtype=np.float64)
+    return flat.reshape(len(arr), -1)
+
+
+def _topk_into(out, t, ids, key, vals, k, extra=None):
+    """Append query t's top-k rows by (key desc, id asc) to the out lists.
+    ``key`` is the sort key (NaN→+inf to match Spark's NaN-greatest
+    ordering); ``vals`` the emitted score; ``extra`` optional extra col."""
+    order = np.lexsort((ids, -key))[:k]
+    out[0].append(np.full(len(order), t))
+    out[1].append(ids[order])
+    out[2].append(vals[order])
+    if extra is not None:
+        out[3].append(extra[order])
+
+
+def _cosine_topk_kernel(qids: np.ndarray, Q: np.ndarray, k: int,
+                        id_col: str, vec_col: str,
+                        probe_mask: np.ndarray | None = None,
+                        cluster_centroids: np.ndarray | None = None):
+    """mapInArrow kernel: per batch, cosine of every (row, query) pair in
+    fold order → per-batch per-query top-k rows (query_id, id, cos).
+
+    With ``probe_mask`` (q, n_clusters) and ``cluster_centroids``, each row
+    is first assigned to its nearest centroid (the exact _assign_udf
+    arithmetic: BLAS matmul + reversed argmax) and query t only sees rows
+    whose cluster is in its probe set — the IVF inverted-list join as a
+    mask instead of an exchange."""
+    import pyarrow as pa
+
+    qn = _seq_norms(Q) if Q.size else np.zeros(0)
+    C = cluster_centroids.T.copy() if cluster_centroids is not None else None
+
+    def run(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0 or len(qids) == 0:
+                continue
+            ids = np.asarray(batch.column(id_col).to_numpy(zero_copy_only=False),
+                             dtype=np.int64)
+            M = _batch_mat(batch, vec_col)
+            if C is not None:
+                scores = M @ C
+                clusters = scores.shape[1] - 1 - np.argmax(scores[:, ::-1], axis=1)
+            cos = _seq_dots(M, Q) / (qn[None, :] * _seq_norms(M)[:, None])
+            key = np.where(np.isnan(cos), np.inf, cos)
+            out = ([], [], [])
+            for t in range(len(qids)):
+                if C is not None:
+                    valid = np.nonzero(probe_mask[t][clusters])[0]
+                    if len(valid) == 0:
+                        continue
+                    _topk_into(out, t, ids[valid], key[valid, t], cos[valid, t], k)
+                else:
+                    _topk_into(out, t, ids, key[:, t], cos[:, t], k)
+            if not out[0]:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qids[np.concatenate(out[0])], pa.int64()),
+                    pa.array(np.concatenate(out[1]), pa.int64()),
+                    pa.array(np.concatenate(out[2]), pa.float64()),
+                ],
+                names=["query_id", "vec_id", "cos"],
+            )
+
+    return run
+
+
+def _topk_schema(query_id_col: str, id_col: str, score_col: str) -> T.StructType:
+    return T.StructType([
+        T.StructField(query_id_col, T.LongType()),
+        T.StructField(id_col, T.LongType()),
+        T.StructField(score_col, T.DoubleType()),
+    ])
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -41,18 +173,22 @@ def cosine_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Exact top-k by cosine: corpus × broadcast(queries) → window rank.
-    Returns (query_id, vec_id, cos, rank); deterministic tie-break on id.
-    The corpus (scan-stage) is widened when under-partitioned — the
-    per-row dot products and the map-side WindowGroupLimit sort run at
-    the scan's width (skew.ensure_parallelism)."""
+    """Exact top-k by cosine. Returns (query_id, vec_id, cos, rank);
+    deterministic tie-break on id. One corpus pass through the batch
+    kernel (queries ride the task closure — dim-table-small by contract,
+    like the PQ lookup tables); the final window ranks only
+    batches·q·k candidate rows. The corpus (scan-stage) is widened when
+    under-partitioned so the kernel runs at session width
+    (skew.ensure_parallelism). Values are bit-identical to the former
+    pair-join formulation — see the kernel-contract note above."""
     from .skew import ensure_parallelism
 
-    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("q_vec"))
+    qids, Q = _np_queries(queries, query_id_col, vec_col)
     c = ensure_parallelism(corpus.select(F.col(id_col), F.col(vec_col).alias("c_vec")))
-    scored = c.join(F.broadcast(q)).withColumn(
-        "cos", cosine_expr(F.col("q_vec"), F.col("c_vec"))
-    )
+    scored = c.mapInArrow(
+        _cosine_topk_kernel(qids, Q, k, id_col, "c_vec"),
+        schema=_topk_schema("query_id", "vec_id", "cos"),
+    ).withColumnRenamed("query_id", query_id_col).withColumnRenamed("vec_id", id_col)
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -215,22 +351,38 @@ def ivf_topk(
     lists only, exact cosine re-rank inside them. Probe cost ≈
     n_probe/k_centroids of brute force; recall tested vs cosine_topk.
     Pass ``centroids=ivf_train(corpus)`` for data-trained lists (balanced
-    at scale); default stays the seeded-random baseline."""
-    cents = centroids if centroids is not None else _centroids(dim, k_centroids, seed)
-    corpus_c = ivf_assign(corpus, vec_col, dim, k_centroids, seed, centroids=cents)
+    at scale); default stays the seeded-random baseline.
 
-    q = queries.select(
-        F.col(query_id_col),
-        F.col(vec_col).alias("q_vec"),
-        F.explode(_assign_udf(cents, top_n=n_probe)(F.col(vec_col))).alias("ivf_cluster"),
-    )
-    c = corpus_c.select(F.col(id_col), F.col(vec_col).alias("c_vec"), "ivf_cluster")
-    cand = c.join(F.broadcast(q), "ivf_cluster").withColumn(
-        "cos", cosine_expr(F.col("q_vec"), F.col("c_vec"))
-    )
+    r6 shape: the corpus streams ONCE through the batch kernel, which
+    assigns each row's list (the exact _assign_udf arithmetic) and scores
+    it against only the queries probing that list — the inverted-list
+    equi-join becomes an in-kernel mask, so no n·(n_probe/k) pair rows
+    materialize and no per-pair interpreted cosine runs. Query probe
+    lists replicate _assign_udf's top_n numpy call driver-side. Values
+    bit-identical (kernel contract above; candidate sets identical by the
+    same cluster-membership predicate)."""
+    from .skew import ensure_parallelism
+
+    cents = centroids if centroids is not None else _centroids(dim, k_centroids, seed)
+    qids, Q = _np_queries(queries, query_id_col, vec_col)
+    if len(qids):
+        scores = Q @ cents.T.copy()
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :n_probe]
+        probe_mask = np.zeros((len(qids), cents.shape[0]), dtype=bool)
+        for t in range(len(qids)):
+            probe_mask[t][order[t]] = True
+    else:
+        probe_mask = np.zeros((0, cents.shape[0]), dtype=bool)
+
+    c = ensure_parallelism(corpus.select(F.col(id_col), F.col(vec_col).alias("c_vec")))
+    scored = c.mapInArrow(
+        _cosine_topk_kernel(qids, Q, k, id_col, "c_vec",
+                            probe_mask=probe_mask, cluster_centroids=cents),
+        schema=_topk_schema("query_id", "vec_id", "cos"),
+    ).withColumnRenamed("query_id", query_id_col).withColumnRenamed("vec_id", id_col)
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos").desc(), F.col(id_col).asc())
     return (
-        cand.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, F.round("cos", 6).alias("cos"), "rank")
     )
@@ -402,8 +554,21 @@ def pq_train(
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     books = []
+    # preallocated buffers (r6): the seeding loop ran 2,040 small
+    # allocate-subtract-square-sum rounds and Lloyd churned a fresh 41 MB
+    # (n × ksub) distance matrix per iteration — together ~5.5 s of
+    # single-threaded DRIVER time inside the timed bench region. All the
+    # arithmetic below is the same IEEE operation sequence into reused
+    # out= buffers (np.subtract/np.multiply/np.sum/np.matmul produce
+    # bit-identical values with or without out=), and the rng draw order
+    # is untouched, so codebooks are bit-identical (asserted in
+    # tests/test_dedup_textstats.py::test_pq_train_deterministic).
+    n = len(X)
+    diff = np.empty((n, dsub))
+    d2new = np.empty(n)
+    sc = np.empty((n, ksub))
     for j in range(m):
-        S = X[:, j * dsub : (j + 1) * dsub]
+        S = np.ascontiguousarray(X[:, j * dsub : (j + 1) * dsub])
         cents = [S[rng.integers(len(S))]]
         # k-means++ with an incrementally-maintained min-distance array:
         # O(ksub·n) instead of recomputing all pairs per new centroid
@@ -414,7 +579,10 @@ def pq_train(
             p = d2min / d2min.sum() if d2min.sum() > 0 else None
             nxt = S[rng.choice(len(S), p=p)]
             cents.append(nxt)
-            d2min = np.minimum(d2min, ((S - nxt) ** 2).sum(axis=1))
+            np.subtract(S, nxt, out=diff)
+            np.multiply(diff, diff, out=diff)
+            np.sum(diff, axis=1, out=d2new)
+            np.minimum(d2min, d2new, out=d2min)
         C = np.stack(cents)
         # Lloyd step in matmul form: |S-C|² = |S|² + |C|² − 2·S·Cᵀ avoids
         # the (n, ksub, dsub) broadcast array — at sample_n=20k, ksub=256
@@ -422,8 +590,10 @@ def pq_train(
         # and dominated the pq_cosine bench entry. |S|² is constant across
         # the argmin row, so it is dropped from the comparison entirely.
         for _ in range(iters):
-            d2 = (C**2).sum(axis=1)[None, :] - 2.0 * (S @ C.T)
-            assign = np.argmin(d2, axis=1)
+            np.matmul(S, C.T, out=sc)
+            np.multiply(sc, 2.0, out=sc)
+            np.subtract((C**2).sum(axis=1)[None, :], sc, out=sc)
+            assign = np.argmin(sc, axis=1)
             # per-cluster means via one weighted bincount per dimension
             counts = np.bincount(assign, minlength=ksub)
             sums = np.stack(
@@ -463,6 +633,83 @@ def pq_encode(df: DataFrame, codebooks: np.ndarray, vec_col: str = "embedding",
     return df.withColumn(out_col, pq_encode_udf(codebooks)(F.col(vec_col)))
 
 
+def _pq_codes_np(M: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(n, m) int32 PQ codes — the exact pq_encode_udf arithmetic (row
+    normalization, per-subspace squared-distance matrix, first-min
+    argmin)."""
+    m, ksub, dsub = codebooks.shape
+    M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+    codes = np.empty((len(M), m), dtype=np.int32)
+    for j in range(m):
+        S = M[:, j * dsub : (j + 1) * dsub]
+        d2 = ((S[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = np.argmin(d2, axis=1)
+    return codes
+
+
+def _adc_shortlist_kernel(qids: np.ndarray, luts3: np.ndarray, shortlist: int,
+                          codebooks: np.ndarray, id_col: str, vec_col: str,
+                          probe_mask: np.ndarray | None = None,
+                          cluster_centroids: np.ndarray | None = None):
+    """mapInArrow kernel: per batch — PQ-encode the rows (exact
+    pq_encode_udf arithmetic), ADC-score every (row, query) pair with the
+    exact former lookup-table ops (same gather + same .sum(axis=1)), and
+    emit each query's per-batch top-``shortlist`` by (score desc, id asc).
+    Optional IVF probe mask exactly as in _cosine_topk_kernel."""
+    import pyarrow as pa
+
+    m = codebooks.shape[0]
+    marange = np.arange(m)[None, :]
+    C = cluster_centroids.T.copy() if cluster_centroids is not None else None
+
+    def run(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0 or len(qids) == 0:
+                continue
+            ids = np.asarray(batch.column(id_col).to_numpy(zero_copy_only=False),
+                             dtype=np.int64)
+            M = _batch_mat(batch, vec_col)
+            if C is not None:
+                ascore = M @ C
+                clusters = ascore.shape[1] - 1 - np.argmax(ascore[:, ::-1], axis=1)
+            codes = _pq_codes_np(M, codebooks)
+            out = ([], [], [])
+            for t in range(len(qids)):
+                if C is not None:
+                    valid = np.nonzero(probe_mask[t][clusters])[0]
+                    if len(valid) == 0:
+                        continue
+                    s = luts3[t][marange, codes[valid]].sum(axis=1)
+                    key = np.where(np.isnan(s), np.inf, s)
+                    _topk_into(out, t, ids[valid], key, s, shortlist)
+                else:
+                    s = luts3[t][marange, codes].sum(axis=1)
+                    key = np.where(np.isnan(s), np.inf, s)
+                    _topk_into(out, t, ids, key, s, shortlist)
+            if not out[0]:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(qids[np.concatenate(out[0])], pa.int64()),
+                    pa.array(np.concatenate(out[1]), pa.int64()),
+                    pa.array(np.concatenate(out[2]), pa.float64()),
+                ],
+                names=["query_id", "vec_id", "approx_ip"],
+            )
+
+    return run
+
+
+def _luts3(queries: DataFrame, codebooks: np.ndarray, query_id_col: str,
+           vec_col: str, qids: np.ndarray) -> np.ndarray:
+    """_pq_query_luts stacked into a (q, m, ksub) array in qids order."""
+    luts = _pq_query_luts(queries, codebooks, query_id_col, vec_col)
+    if not len(qids):
+        return np.zeros((0,) + codebooks.shape[:2])
+    return np.stack([luts[q] for q in qids])
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -475,29 +722,32 @@ def pq_topk(
 ) -> DataFrame:
     """PQ ANN with exact rerank: (1) asymmetric-distance scan — each query
     precomputes an (m × ksub) inner-product lookup table driver-side (the
-    query side is dim-table-small, like footprints); the corpus side is
-    scanned as CODES ONLY (id + m small ints — at scale, ~8× less I/O than
-    vectors, and the scan column-prunes the embedding away, so the heavy
-    column never leaves parquet); (2) top-``shortlist`` per query by table
-    score; (3) exact cosine rerank joins the shortlist ids (a tiny set)
-    back to their true vectors. Returns (query_id, vec_id, cos, rank).
-    """
+    query side is dim-table-small, like footprints); the corpus streams
+    once through the ADC kernel (at scale over a code-only table the scan
+    column-prunes the vectors away — see ivfpq_topk_partitioned); (2) the
+    kernel emits per-batch top-``shortlist`` per query, the window keeps
+    the global top-``shortlist``; (3) exact cosine rerank joins the
+    shortlist ids (a tiny set) back to their true vectors. Returns
+    (query_id, vec_id, cos, rank). Scores and shortlists are bit-identical
+    to the former per-pair UDF formulation (kernel contract note)."""
     from .skew import ensure_parallelism
 
-    m = codebooks.shape[0]
-    luts = _pq_query_luts(queries, codebooks, query_id_col, vec_col)
-    enc = pq_encode(
-        ensure_parallelism(corpus.select(id_col, vec_col)), codebooks
-    ).select(id_col, "pq_code")
-    qids = queries.select(query_id_col)
-    scored = enc.crossJoin(F.broadcast(qids)).withColumn(
-        "approx_ip", _approx_ip_udf(luts, m)(F.col("pq_code"), F.col(query_id_col))
+    qids, _Q = _np_queries(queries, query_id_col, vec_col)
+    luts3 = _luts3(queries, codebooks, query_id_col, vec_col, qids)
+    enc = ensure_parallelism(corpus.select(F.col(id_col), F.col(vec_col).alias("c_vec")))
+    short = (
+        enc.mapInArrow(
+            _adc_shortlist_kernel(qids, luts3, shortlist, codebooks, id_col, "c_vec"),
+            schema=_topk_schema("query_id", "vec_id", "approx_ip"),
+        )
+        .withColumnRenamed("query_id", query_id_col)
+        .withColumnRenamed("vec_id", id_col)
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("approx_ip").desc(), F.col(id_col).asc()
     )
     short = (
-        scored.withColumn("_r", F.row_number().over(w))
+        short.withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= shortlist)
         .select(query_id_col, id_col)
     )
@@ -540,29 +790,37 @@ def ivfpq_topk(
     two multiplicative reductions — while the recall gate stays the same
     shape as :func:`pq_topk`'s.
     """
-    m = codebooks.shape[0]
-    luts = _pq_query_luts(queries, codebooks, query_id_col, vec_col)
+    from .skew import ensure_parallelism
 
-    # IVF side: corpus rows keyed by their list; queries explode probes
-    enc = pq_encode(
-        ivf_assign(corpus.select(id_col, vec_col), vec_col, centroids=centroids),
-        codebooks,
-        vec_col,
-    ).select(id_col, "ivf_cluster", "pq_code")
-    q_probe = queries.select(
-        F.col(query_id_col),
-        F.explode(_assign_udf(centroids, top_n=n_probe)(F.col(vec_col))).alias(
-            "ivf_cluster"
-        ),
-    )
-    scored = enc.join(F.broadcast(q_probe), "ivf_cluster").withColumn(
-        "approx_ip", _approx_ip_udf(luts, m)(F.col("pq_code"), F.col(query_id_col))
+    qids, Q = _np_queries(queries, query_id_col, vec_col)
+    luts3 = _luts3(queries, codebooks, query_id_col, vec_col, qids)
+    # query probe lists: the exact _assign_udf top_n numpy call, driver-side
+    if len(qids):
+        scores = Q @ centroids.T.copy()
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :n_probe]
+        probe_mask = np.zeros((len(qids), centroids.shape[0]), dtype=bool)
+        for t in range(len(qids)):
+            probe_mask[t][order[t]] = True
+    else:
+        probe_mask = np.zeros((0, centroids.shape[0]), dtype=bool)
+
+    # one corpus pass: in-kernel IVF assignment + PQ encode + masked ADC
+    # scan (the inverted-list equi-join as a probe mask — no pair rows)
+    enc = ensure_parallelism(corpus.select(F.col(id_col), F.col(vec_col).alias("c_vec")))
+    short = (
+        enc.mapInArrow(
+            _adc_shortlist_kernel(qids, luts3, shortlist, codebooks, id_col, "c_vec",
+                                  probe_mask=probe_mask, cluster_centroids=centroids),
+            schema=_topk_schema("query_id", "vec_id", "approx_ip"),
+        )
+        .withColumnRenamed("query_id", query_id_col)
+        .withColumnRenamed("vec_id", id_col)
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("approx_ip").desc(), F.col(id_col).asc()
     )
     short = (
-        scored.withColumn("_r", F.row_number().over(w))
+        short.withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= shortlist)
         .select(query_id_col, id_col)
     )

@@ -66,18 +66,26 @@ def ensure_parallelism(df: DataFrame, factor: int = 2) -> DataFrame:
     exactly the local bench shape. ``factor=2`` mirrors the session's
     ``shuffle_partitions = cores·2`` sizing (mild skew headroom).
 
-    CONSTRAINT: call this on scan-stage inputs only (reads, narrow
-    projections/filters). The partition-count probe goes through
-    ``df.rdd``, and converting an AQE plan that contains a shuffle forces
-    its upstream query stages to EXECUTE at plan time — on a derived
-    frame this silently runs (part of) the job early and can double
-    work. Every use in this package sits directly on a table read.
-    (Probing the optimized plan's treeString() to auto-detect shuffle
-    nodes was tried in r5 and measured WORSE: a plan carrying the 64-term
-    SimHash/SWAR expression trees serializes multi-MB strings over py4j
-    per call — keep the contract static instead.)
+    Probe (r6, VERDICT r5 ask #5): file-backed frames are probed with
+    ``df.inputFiles()`` — a pure file-index lookup that CANNOT execute
+    upstream stages, so calling this on a derived frame is now safe (the
+    former ``df.rdd`` probe forced AQE query stages to execute at plan
+    time, and cost an RDD conversion + py4j round-trip per call even on
+    plain scans). File count is the split estimate: the engine's sources
+    write ≤1 row group per 128 MB file, so files < target ⇒ the scan
+    cannot reach target width. Non-file sources (range/in-memory — test
+    fixtures) keep the ``df.rdd`` partition probe; they have no files and
+    no row-group pathology. (Probing the optimized plan's treeString() to
+    auto-detect shuffle nodes was tried in r5 and measured WORSE: a plan
+    carrying the 64-term SimHash/SWAR expression trees serializes
+    multi-MB strings over py4j per call.)
     """
     target = df.sparkSession.sparkContext.defaultParallelism * factor
+    files = df.inputFiles()
+    if files:
+        if len(files) >= target:
+            return df
+        return df.repartition(target)
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

@@ -111,8 +111,17 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     the most-frequent-token count comes from a linear run-length scan over
     the sorted token array (``aggregate`` with a struct accumulator), not
     from the wordcount explode+groupBy formulation, so at 10^12 documents
-    this stage shuffles NOTHING and pipelines with extraction."""
-    toks = tokens_col(text_col)
+    this stage shuffles NOTHING and pipelines with extraction.
+
+    The token array is materialized in a child projection (``_toks_rep``,
+    dropped before returning): lambda bodies re-evaluate embedded
+    expressions per array element, so the former inline ``split`` inside
+    the 2-gram transform re-ran the regex once per gram (r6; same finding
+    as scrub.ngram_hashes_from_words — measured ~8× on the sf1 gram
+    stage). The multiple references below also keep CollapseProject from
+    inlining it back."""
+    df = df.withColumn("_toks_rep", tokens_col(text_col))
+    toks = F.col("_toks_rep")
     n_toks = F.size(toks)
     sorted_toks = F.array_sort(toks)
     zero = F.lit(0).cast("long")
@@ -148,7 +157,7 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.when(F.col("top_tok_share") > 0.2, "repetitive")
         .when(F.col("distinct_tok_ratio") < 0.3, "low_diversity")
         .otherwise("ok"),
-    )
+    ).drop("_toks_rep")
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:

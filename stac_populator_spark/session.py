@@ -74,7 +74,25 @@ def get_spark(
             "spark.python.unix.domain.socket.enabled",
             os.environ.get("SPARK_GRAFT_WORKER_UDS", "true"),
         )
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Spark's default 10 MB, kept explicit and env-tunable. r6: the
+        # former 64 MB ceiling combined with column-pruned file-scan size
+        # ESTIMATES (a scan's sizeInBytes is discounted by the selected
+        # column fraction) made the planner broadcast the 6M-row fact
+        # table in the TPC-H join chains — a single-threaded driver
+        # collect + hash-relation build per query (q5 13.1s → 1.7s at sf1
+        # after the change) and a driver-OOM scale bug at 100 TB, where
+        # any scan with a ≤64 MB pruned estimate becomes broadcast-
+        # eligible. Dim-side broadcasts this engine relies on are either
+        # explicit F.broadcast() (threshold-independent) or under 10 MB;
+        # AQE still upgrades genuinely small post-shuffle sides at runtime.
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            os.environ.get("SPARK_GRAFT_BROADCAST_THRESHOLD", str(10 * 1024 * 1024)),
+        )
+        # let the planner pick shuffled-hash over sort-merge when its size
+        # conditions hold (guide §3.1): the TPC-H orderkey joins build a
+        # per-partition hash table instead of sorting both 6M-row sides
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -86,35 +86,43 @@ def merge_lock(table_path: str, timeout_s: float = 0.0, stale_s: float = 3600.0)
             break
         except FileExistsError:
             try:
-                age = time.time() - os.stat(lock).st_mtime
+                st0 = os.stat(lock)
             except FileNotFoundError:
                 continue  # holder just released — retry acquire
+            age = time.time() - st0.st_mtime
             if age > stale_s:
-                # Break the stale lock ATOMICALLY: record the stale lock's
-                # owner token, rename to a unique name (exactly one waiter
-                # wins; a bare unlink races), then verify the renamed file
-                # still carries the token we observed. If a breaker stalled
-                # between stat and rename it can move a FRESH lock another
-                # waiter just created — the token mismatch detects that and
-                # we restore via link(). The restore itself can lose a race
-                # (a third waiter grabs the empty slot first → link raises
-                # FileExistsError and the displaced fresh lock cannot go
-                # back); that residual window is made SAFE rather than
-                # silent by ownership tokens: the displaced holder's
-                # verify()-before-commit and token-checked release both
-                # detect the loss, so no writer ever commits without the
-                # lock and no release ever unlinks a third party's lock
-                # (ADVICE r4).
-                observed = _lock_token(lock)
+                # Break the stale lock ATOMICALLY: rename to a unique name
+                # (exactly one waiter wins; a bare unlink races), then
+                # verify BY INODE that the renamed file is the exact file
+                # the staleness decision was made on (r6: the former
+                # token-equality check was a TOCTOU hole — a breaker that
+                # stalled between stat and token read could observe a
+                # FRESH lock's token and pass vacuously). If a breaker
+                # stalled between stat and rename it can still move a
+                # FRESH lock another waiter just created — the inode
+                # mismatch detects that and we restore via link(). The
+                # restore itself can lose a race (a third waiter grabs the
+                # empty slot first → link raises FileExistsError and the
+                # displaced fresh lock cannot go back); that residual
+                # window is made SAFE rather than silent by ownership
+                # tokens: the displaced holder's verify()-before-commit
+                # and token-checked release both detect the loss, so no
+                # writer ever commits without the lock and no release ever
+                # unlinks a third party's lock (ADVICE r4; contract pinned
+                # by test_merge_concurrency's verified-tenure test).
                 try:
+                    st1 = os.stat(lock)
+                    if st1.st_ino != st0.st_ino:
+                        continue  # changed under us — re-evaluate staleness
                     broken = lock + f".broken.{uuid.uuid4().hex}"
                     os.rename(lock, broken)
-                    # tokenless lock (writer died between open and write):
-                    # fall back to mtime staleness of the renamed file
+                    stb = os.stat(broken)
+                    # same inode as the stale stat AND still mtime-stale
+                    # (rename preserves mtime; inode pins file identity —
+                    # covers the tokenless mid-write case too)
                     still_stale = (
-                        _lock_token(broken) == observed
-                        if observed is not None
-                        else time.time() - os.stat(broken).st_mtime > stale_s
+                        stb.st_ino == st0.st_ino
+                        and time.time() - stb.st_mtime > stale_s
                     )
                     if not still_stale:
                         # renamed a lock that changed under us (fresh

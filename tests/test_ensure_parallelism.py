@@ -40,3 +40,21 @@ def test_factor_controls_target(spark):
     df = spark.range(0, 100, numPartitions=1)
     out = ensure_parallelism(df, factor=3)
     assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism * 3
+
+
+def test_no_execution_on_derived_frame(spark, tmp_path):
+    # r6: the probe must not execute upstream stages when handed a DERIVED
+    # frame (join/agg over a file scan) — the former df.rdd probe forced
+    # AQE query-stage materialization at plan time
+    import pandas as pd
+
+    p = str(tmp_path / "base.parquet")
+    spark.createDataFrame(pd.DataFrame({"id": range(100), "k": [i % 3 for i in range(100)]})).write.parquet(p)
+    df = spark.read.parquet(p)
+    derived = df.groupBy("k").count().join(df, "k")
+    tracker = spark.sparkContext._jsc.sc().statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    out = ensure_parallelism(derived)
+    after = len(tracker.getJobIdsForGroup(None))
+    assert after == before, "probe executed upstream stages"
+    assert out is not None

@@ -207,7 +207,13 @@ def test_session_scale_configs_pinned(spark):
     assert conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
     assert conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true"
     assert conf.get("spark.sql.execution.arrow.pyspark.enabled") == "true"
-    assert int(conf.get("spark.sql.autoBroadcastJoinThreshold")) >= 64 * 1024 * 1024
+    # 10 MB (the Spark default) — NOT higher: scan size estimates are
+    # discounted by column pruning, so a generous ceiling makes pruned
+    # FACT scans broadcast-eligible (observed: the 6M-row lineitem built
+    # as a driver hash relation under the former 64 MB pin). Explicit
+    # F.broadcast() dim sides ignore the threshold entirely.
+    assert int(conf.get("spark.sql.autoBroadcastJoinThreshold")) == 10 * 1024 * 1024
+    assert conf.get("spark.sql.join.preferSortMergeJoin") == "false"
     assert int(conf.get("spark.sql.files.maxPartitionBytes")) <= 256 * 1024 * 1024
     assert conf.get("spark.sql.session.timeZone") == "UTC"
 
