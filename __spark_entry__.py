@@ -781,7 +781,9 @@ def _pii_redact(spark, sf_dir):
         .when(F.col("doc_id") % 7 == 2, F.lit(" call +123-456-7890 ok"))
         .otherwise(F.lit(""))
     )
-    aug = d.withColumn("text", F.concat("text", plant))
+    # explicit pruning before the Arrow kernel: Catalyst cannot prune
+    # through mapInArrow, and only (doc_id, text) are consumed downstream
+    aug = d.select("doc_id", F.concat("text", plant).alias("text"))
     out = redact_pii(aug)
     return out.select(
         "doc_id", "n_email", "n_ipv4", "n_phone", F.md5("text_redacted").alias("redacted_md5")

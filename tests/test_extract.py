@@ -100,3 +100,32 @@ def test_page_with_both_position_and_box_takes_box(spark):
     assert row["lat_min"] == 20.0 and row["lat_max"] == 30.0
     assert row["lon_min"] == 5.0 and row["lon_max"] == 15.0
     assert row["lat_min"] <= row["lat_max"]
+
+
+def test_geometry_vectorized_matches_loop():
+    # r6: the Arrow-assembled geometry strings must be byte-equal to the
+    # repr()-f-string loop on every row — including integral values
+    # (repr's trailing '.0'), negative zero, antimeridian crossings, and
+    # the guarded fallback rows (exponent-territory magnitudes, inf)
+    import numpy as np
+
+    from stac_populator_spark.operators.extract import _geom_loop, _geom_strings
+
+    rng = np.random.default_rng(7)
+    n = 20000
+    lon_min = rng.uniform(-180, 180, n)
+    lat_min = rng.uniform(-90, 90, n)
+    lon_max = lon_min + rng.uniform(-20, 20, n)  # some antimeridian crossings
+    lat_max = lat_min + rng.uniform(0, 10, n)
+    lon_min[::7] = np.round(lon_min[::7])        # integral → repr '.0'
+    lat_max[::11] = np.round(lat_max[::11])
+    lon_min[::101] = 1e-7                        # exponent form → fallback
+    lat_min[::103] = 3e17
+    lon_max[::107] = np.inf                      # non-finite → fallback
+    lat_max[::109] = -0.0
+    has_geom = np.ones(n, dtype=bool)
+    has_geom[::13] = False
+
+    vec = _geom_strings(lon_min, lat_min, lon_max, lat_max, has_geom, n).to_pylist()
+    ref = _geom_loop(lon_min, lat_min, lon_max, lat_max, np.nonzero(has_geom)[0])
+    assert all(vec[k] == ref.get(k) for k in range(n))
