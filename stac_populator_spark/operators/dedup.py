@@ -232,23 +232,44 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
     th = F.md5(F.col(text_col).cast("binary"))
     # ONE map-side-combined aggregate carries everything downstream needs:
     # the representative, the full (sorted) member-id list, and the
-    # representative text. The four consumers (signatures, both jaccard
-    # sides, within, cross) share it through AQE's ReuseExchange — the
-    # identical agg subplans resolve to ONE executed stage. (r4 pinned it
-    # with localCheckpoint(eager=False) instead; r5 measured that the pin
-    # costs a full plan re-analysis per invocation plus RDD
-    # materialization overhead and is strictly slower at sf0.1 AND sf1 —
-    # 15.5 s vs 4.5 s first-run at sf0.1 — with exchange reuse already
-    # deduping the stage.)
+    # representative text — pinned with localCheckpoint(eager=False) so its
+    # six consumers (signatures, both jaccard sides, within, cross ×2) read
+    # ONE materialization. r6 measurement: AQE ReuseExchange does NOT dedupe
+    # these subplans — each consumer prunes a different column subset out of
+    # the aggregate (min only / collect_list only / all three), so the
+    # canonicalized exchanges differ and the full text scan + md5 collapse
+    # re-executed per consumer (guide §2.4: remove repeated passes). The r5
+    # note claiming the pin was slower measured an EAGER variant confounded
+    # by plan-build cost; the lazy pin is 6.9 s → 2.0 s at sf1 by itself.
+    # Scale: the checkpoint materializes one row per distinct text — the
+    # same bytes the collapse exchange already wrote, spilled to local disk
+    # by storage level, vs 3-4 extra full-corpus scans without it.
     grp = df.groupBy(th.alias("_th")).agg(
         F.min(id_col).alias("_rep"),
         F.sort_array(F.collect_list(id_col)).alias("_ids"),
         F.min_by(F.col(text_col), F.col(id_col)).alias("_text"),
-    )
+    ).localCheckpoint(eager=False)
     reps = grp.select(F.col("_rep").alias(id_col), F.col("_text").alias(text_col))
     sigs = minhash_signatures(reps, text_col, id_col)
-    cands = minhash_candidates(sigs, id_col)
-    rep_pairs = jaccard_pairs(reps, cands, text_col, id_col).filter(
+    # candidates are consumed three times below (join key + both sides of
+    # the id union) — checkpoint so banding runs once
+    cands = minhash_candidates(sigs, id_col).localCheckpoint(eager=False)
+    # exact-Jaccard verify touches only docs that appear in a candidate
+    # pair: semi-join the reps down to those ids BEFORE shingling, so the
+    # verify cost scales with |candidates|, not |corpus| (r6: the verify
+    # stage shingled the full rep corpus TWICE — 1.4 s of the 4.6 s sf1
+    # wall; with the restriction it is milliseconds). Result-identical:
+    # shingle rows outside the candidate id set cannot join. No broadcast
+    # hint — AQE upgrades the tiny id side at runtime; at adversarial
+    # candidate volumes the join degrades to a shuffle instead of an
+    # over-cap broadcast.
+    cand_ids = (
+        cands.select(F.col("a").alias(id_col))
+        .union(cands.select(F.col("b").alias(id_col)))
+        .distinct()
+    )
+    reps_verify = reps.join(cand_ids, id_col, "left_semi")
+    rep_pairs = jaccard_pairs(reps_verify, cands, text_col, id_col).filter(
         F.col("jaccard") >= threshold
     )
 
@@ -528,14 +549,18 @@ def simhash_candidates(sigs: DataFrame, id_col: str = "doc_id",
         )
 
     # collapse identical signatures (exact dups flood every band); ONE
-    # aggregate carries rep + sorted member list, shared by its consumers
-    # through AQE ReuseExchange (r5: the former localCheckpoint pin
-    # re-analyzed the whole signature subtree per invocation and was
-    # strictly slower — see :func:`minhash_near_duplicates`)
+    # aggregate carries rep + sorted member list, pinned with
+    # localCheckpoint(eager=False) so the four consumers (banding, within,
+    # cross ×2) read one materialization. r6: ReuseExchange does NOT dedupe
+    # these subplans — per-consumer column pruning (min only vs collect_list
+    # only) canonicalizes the aggregates differently, so the md5+SWAR
+    # signature scan re-executed per consumer (measured 5.5 s → 1.6 s at
+    # sf1, 3.2 s → 0.4 s at sf0.1 from the pin alone; see
+    # :func:`minhash_near_duplicates` for the same finding + scale note).
     grp = sigs.groupBy("simhash").agg(
         F.min(id_col).alias("_rep"),
         F.sort_array(F.collect_list(id_col)).alias("_ids"),
-    )
+    ).localCheckpoint(eager=False)
     reps = grp.select(F.col("_rep").alias(id_col), "simhash")
 
     combos = list(itertools.combinations(range(n_blocks), band_size))
