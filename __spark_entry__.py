@@ -1725,10 +1725,39 @@ def _training_prep(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is deliberate (driver samples the FIRST 50 keys): rotated
     # each round so every query is driver-hash-checked within two
-    # consecutive rounds — round 5 leads with the 29 entries outside the
-    # round-4 sample (CORRECTNESS_r04.json), then the 50 it covered.
+    # consecutive rounds — round 6 leads with the 29 entries outside the
+    # round-5 sample (CORRECTNESS_r05.json), then the 50 it covered.
     # tools/check_oracle.py replays all 79 under the same comparator.
     return {
+        "events_trailing_1h": _events_trailing_1h,
+        "embed_quantize": _embed_quantize,
+        "neardup_components": _neardup_components,
+        "quality_zscore": _quality_zscore,
+        "daily_activity_full_outer": _daily_activity_full_outer,
+        "events_grouping_sets": _events_grouping_sets,
+        "clicks_asof_purchase": _clicks_asof_purchase,
+        "domain_stats": _domain_stats,
+        "ivfpq_cosine": _ivfpq_cosine,
+        "stac_flagship": _stac_flagship,
+        "minhash_neardup": _minhash_neardup,
+        "simhash_pairs": _simhash_pairs,
+        "pq_cosine": _pq_cosine,
+        "cosine_neardup": _cosine_neardup,
+        "knn_exact_docs": _knn_exact_docs,
+        "stac_collections": _stac_collections,
+        "decontaminate": _decontaminate,
+        "pii_redact": _pii_redact,
+        "ivf_cosine": _ivf_cosine,
+        "stac_items_sql": _stac_items_sql,
+        "stac_valid_split": _stac_valid_split,
+        "collection_extent": _collection_extent,
+        "pip_points": _pip_points,
+        "sessionize": _sessionize,
+        "domain_budget": _domain_budget,
+        "jaccard_pairs": _jaccard_pairs,
+        "q1_pricing_summary": _q1_pricing_summary,
+        "q3_topk_revenue": _q3_topk_revenue,
+        "q5_nation_revenue": _q5_nation_revenue,
         "top_customer_per_nation": _top_customer_per_nation,
         "events_daily": _events_daily,
         "orders_semi": _orders_semi,
@@ -1779,35 +1808,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_prep": _training_prep,
         "q6_forecast_revenue": _q6_forecast_revenue,
         "funnel_counts": _funnel_counts,
-        "events_trailing_1h": _events_trailing_1h,
-        "embed_quantize": _embed_quantize,
-        "neardup_components": _neardup_components,
-        "quality_zscore": _quality_zscore,
-        "daily_activity_full_outer": _daily_activity_full_outer,
-        "events_grouping_sets": _events_grouping_sets,
-        "clicks_asof_purchase": _clicks_asof_purchase,
-        "domain_stats": _domain_stats,
-        "ivfpq_cosine": _ivfpq_cosine,
-        "stac_flagship": _stac_flagship,
-        "minhash_neardup": _minhash_neardup,
-        "simhash_pairs": _simhash_pairs,
-        "pq_cosine": _pq_cosine,
-        "cosine_neardup": _cosine_neardup,
-        "knn_exact_docs": _knn_exact_docs,
-        "stac_collections": _stac_collections,
-        "decontaminate": _decontaminate,
-        "pii_redact": _pii_redact,
-        "ivf_cosine": _ivf_cosine,
-        "stac_items_sql": _stac_items_sql,
-        "stac_valid_split": _stac_valid_split,
-        "collection_extent": _collection_extent,
-        "pip_points": _pip_points,
-        "sessionize": _sessionize,
-        "domain_budget": _domain_budget,
-        "jaccard_pairs": _jaccard_pairs,
-        "q1_pricing_summary": _q1_pricing_summary,
-        "q3_topk_revenue": _q3_topk_revenue,
-        "q5_nation_revenue": _q5_nation_revenue,
     }
 
 

@@ -385,6 +385,12 @@ def knn_join_exact(
         F.sum((F.col("lat") <= -band_floor).cast("int")).alias("bs"),
         F.sum((F.col("lat") >= band_floor2).cast("int")).alias("bn2"),
         F.sum((F.col("lat") <= -band_floor2).cast("int")).alias("bs2"),
+        # polar-cap populations too (r6): when the escalation loop never
+        # reassigns `remaining` (the brute-cheap small-scale path), the
+        # polar round's first cap-population aggregate would re-scan pts —
+        # fold it into this job and skip that round-trip below
+        F.sum((F.col("lat") >= polar_floor).cast("int")).alias("cn"),
+        F.sum((F.col("lat") <= -polar_floor).cast("int")).alias("cs"),
     ).first()
     n_total = _tot["n"]
     n_band_by_floor = {
@@ -460,12 +466,17 @@ def knn_join_exact(
         ((band_floor, radius), (band_floor2, 2 * radius))
     ):
         # one small job per round for the per-pole cap populations of the
-        # remnant (round 2 runs only if round 1 engaged and left points)
-        _rem = remaining.agg(
-            F.sum((F.col("lat") >= polar_floor).cast("int")).alias("cn"),
-            F.sum((F.col("lat") <= -polar_floor).cast("int")).alias("cs"),
-        ).first()
-        n_cap = {False: _rem["cn"] or 0, True: _rem["cs"] or 0}
+        # remnant (round 2 runs only if round 1 engaged and left points);
+        # when `remaining` is still the untouched input the populations
+        # are already in _tot (r6) — no extra job
+        if remaining is pts:
+            n_cap = {False: _tot["cn"] or 0, True: _tot["cs"] or 0}
+        else:
+            _rem = remaining.agg(
+                F.sum((F.col("lat") >= polar_floor).cast("int")).alias("cn"),
+                F.sum((F.col("lat") <= -polar_floor).cast("int")).alias("cs"),
+            ).first()
+            n_cap = {False: _rem["cn"] or 0, True: _rem["cs"] or 0}
         engaged = False
         for south in (False, True):
             # same cost model as the remnant: when brute-covering this cap

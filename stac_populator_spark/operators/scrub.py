@@ -123,6 +123,37 @@ def ngram_hashes(text_col, n: int = 5) -> F.Column:
     return ngram_hashes_from_words(words_col(text_col), n)
 
 
+def token_hashes_col(words: F.Column) -> F.Column:
+    """Per-token xxhash64 array — materialize in its OWN projection before
+    :func:`ngram_hashes_from_token_hashes` (same per-element re-evaluation
+    rule as :func:`words_col`)."""
+    return F.transform(words, lambda t: F.xxhash64(t))
+
+
+def ngram_hashes_from_token_hashes(hashes: F.Column, n: int = 5) -> F.Column:
+    """Distinct n-gram fingerprints over an already-computed per-token
+    xxhash64 array: gram hash = xxhash64 over the n token hashes.
+
+    r6 (guide §4.1): the string formulation
+    (``xxhash64(concat_ws(' ', slice(words, i+1, n)))``) allocated a slice
+    array + a joined string per gram inside the interpreted lambda; hashing
+    the n token LONGS instead (each token's string is hashed ONCE up front)
+    cuts the gram stage 3.6 s → 2.2 s at sf1. Matching semantics are
+    unchanged: both sides of a decontamination join use the same
+    fingerprint, two grams collide across formulations only at the 2^-64
+    hash-collision level (same exactness class as the old spelling, whose
+    distinct-gram counts were also hash-based), and the short-document
+    branch hashes the whole token-hash array so sub-n docs still only match
+    equal token sequences."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(hashes) - n, F.lit(0))),
+        lambda i: F.xxhash64(*[F.element_at(hashes, i + j + 1) for j in range(n)]),
+    )
+    return F.array_distinct(
+        F.when(F.size(hashes) >= n, grams).otherwise(F.array(F.xxhash64(hashes)))
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     eval_set: DataFrame,
@@ -141,18 +172,25 @@ def decontaminate(
     exchange is the per-doc hit aggregation, and it carries only
     (id, hash) pairs that actually matched.
     """
-    # two-stage projection: the token array materializes once per row in a
-    # child Project; the gram lambda then references it instead of
-    # re-splitting per element (see ngram_hashes_from_words). Values are
-    # identical — same expressions, one evaluation order.
+    # three-stage projection: token array, then per-token hashes, each in
+    # its own child Project so lambdas reference materialized columns and
+    # never re-evaluate an embedded subexpression per element (see
+    # ngram_hashes_from_words); gram fingerprints hash the n token longs
+    # (see ngram_hashes_from_token_hashes — 1.6× the string spelling).
     eval_hashes = (
         eval_set.select(words_col(F.col(text_col)).alias("_w"))
-        .select(F.explode(ngram_hashes_from_words(F.col("_w"), n)).alias("h"))
+        .select(token_hashes_col(F.col("_w")).alias("_h"))
+        .select(F.explode(ngram_hashes_from_token_hashes(F.col("_h"), n)).alias("h"))
         .distinct()
     )
-    corpus_shingled = corpus.select(
-        F.col(id_col), words_col(F.col(text_col)).alias("_w")
-    ).select(F.col(id_col), F.explode(ngram_hashes_from_words(F.col("_w"), n)).alias("h"))
+    corpus_shingled = (
+        corpus.select(F.col(id_col), words_col(F.col(text_col)).alias("_w"))
+        .select(F.col(id_col), token_hashes_col(F.col("_w")).alias("_h"))
+        .select(
+            F.col(id_col),
+            F.explode(ngram_hashes_from_token_hashes(F.col("_h"), n)).alias("h"),
+        )
+    )
     # hits is tiny (matched docs only) but its subtree holds the full
     # corpus shingle explode; the clean/contaminated consumers share its
     # aggregate stage through AQE ReuseExchange (r5: the former

@@ -120,8 +120,11 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     as scrub.ngram_hashes_from_words — measured ~8× on the sf1 gram
     stage). The multiple references below also keep CollapseProject from
     inlining it back."""
-    df = df.withColumn("_toks_rep", tokens_col(text_col))
+    df = df.withColumn("_toks_rep", tokens_col(text_col)).withColumn(
+        "_th_rep", F.transform(F.col("_toks_rep"), lambda x: F.xxhash64(x))
+    )
     toks = F.col("_toks_rep")
+    th = F.col("_th_rep")
     n_toks = F.size(toks)
     sorted_toks = F.array_sort(toks)
     zero = F.lit(0).cast("long")
@@ -138,7 +141,18 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     max_tok_count = F.aggregate(sorted_toks, state0, step, lambda s: s["best"])
     n2 = n_toks - 1
     idx = F.sequence(F.lit(0), F.greatest(n2 - 1, F.lit(0)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)))
+    # 2-gram fingerprints over the per-token xxhash64 array (r6): the
+    # string spelling (concat_ws of a 2-token slice per gram) allocated a
+    # slice + a joined string per gram — hashing the two token longs is
+    # 2× cheaper (2.26 s → 1.15 s at sf1 for this expression alone).
+    # Distinct-gram counts are exact up to xxhash64 collisions (two
+    # distinct grams in ONE document colliding: ~n²/2⁶⁵ per doc — the
+    # same exactness class the dedup/decontamination fingerprints already
+    # accept). element_at stays in ANSI bounds: the otherwise-branch only
+    # evaluates when n2 ≥ 1, so i + 2 ≤ n2 + 1 = size(toks).
+    grams = F.transform(
+        idx, lambda i: F.xxhash64(F.element_at(th, i + 1), F.element_at(th, i + 2))
+    )
     dup_2gram = F.when(
         n2 < 1, F.lit(0.0)
     ).otherwise(F.lit(1.0) - F.size(F.array_distinct(grams)) / n2)
@@ -157,7 +171,7 @@ def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.when(F.col("top_tok_share") > 0.2, "repetitive")
         .when(F.col("distinct_tok_ratio") < 0.3, "low_diversity")
         .otherwise("ok"),
-    ).drop("_toks_rep")
+    ).drop("_toks_rep", "_th_rep")
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
