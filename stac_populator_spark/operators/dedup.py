@@ -259,16 +259,19 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
     # verify cost scales with |candidates|, not |corpus| (r6: the verify
     # stage shingled the full rep corpus TWICE — 1.4 s of the 4.6 s sf1
     # wall; with the restriction it is milliseconds). Result-identical:
-    # shingle rows outside the candidate id set cannot join. No broadcast
-    # hint — AQE upgrades the tiny id side at runtime; at adversarial
-    # candidate volumes the join degrades to a shuffle instead of an
-    # over-cap broadcast.
+    # shingle rows outside the candidate id set cannot join. Explicit
+    # broadcast: hint-free, AQE converts the planned sort-merge semi to a
+    # broadcast join at runtime but still executes the reps-side exchange
+    # it already planned — a full shuffle of rep texts (measured +0.8 s at
+    # sf1 in an interleaved A/B). cand_ids is bounded by 2·|candidate
+    # pairs| — the same pair-scale object the cross-expansion below
+    # already broadcasts (rep_pairs), so no new scale assumption.
     cand_ids = (
         cands.select(F.col("a").alias(id_col))
         .union(cands.select(F.col("b").alias(id_col)))
         .distinct()
     )
-    reps_verify = reps.join(cand_ids, id_col, "left_semi")
+    reps_verify = reps.join(F.broadcast(cand_ids), id_col, "left_semi")
     rep_pairs = jaccard_pairs(reps_verify, cands, text_col, id_col).filter(
         F.col("jaccard") >= threshold
     )
