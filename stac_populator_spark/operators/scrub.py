@@ -172,35 +172,74 @@ def decontaminate(
     exchange is the per-doc hit aggregation, and it carries only
     (id, hash) pairs that actually matched.
     """
-    # three-stage projection: token array, then per-token hashes, each in
-    # its own child Project so lambdas reference materialized columns and
-    # never re-evaluate an embedded subexpression per element (see
-    # ngram_hashes_from_words); gram fingerprints hash the n token longs
-    # (see ngram_hashes_from_token_hashes — 1.6× the string spelling).
-    eval_hashes = (
-        eval_set.select(words_col(F.col(text_col)).alias("_w"))
-        .select(token_hashes_col(F.col("_w")).alias("_h"))
-        .select(F.explode(ngram_hashes_from_token_hashes(F.col("_h"), n)).alias("h"))
-        .distinct()
-    )
-    corpus_shingled = (
-        corpus.select(F.col(id_col), words_col(F.col(text_col)).alias("_w"))
-        .select(F.col(id_col), token_hashes_col(F.col("_w")).alias("_h"))
-        .select(
-            F.col(id_col),
-            F.explode(ngram_hashes_from_token_hashes(F.col("_h"), n)).alias("h"),
+    # r6 (guide §4.2/§8): the gram stage runs as a numpy kernel instead of
+    # an interpreted-lambda transform + explode + broadcast join + groupBy.
+    # Token hashing stays JVM-side (codegen xxhash64 per token, two-stage
+    # projection per finding 1); the kernel then computes the n-gram
+    # fingerprints — xxh64_chain is a BIT-EXACT replica of Spark's
+    # xxhash64(h_i, .., h_{i+n-1}) fold (parity test-pinned) — probes the
+    # broadcast eval fingerprint set with a searchsorted membership test,
+    # and emits (id, n_hits) for matched docs only. This removes the
+    # 2.5M-row gram explode, the join, AND the per-doc hit aggregation
+    # exchange: hits is produced by a narrow map over (id, hash-array)
+    # rows. The eval side is small by construction (benchmarks are
+    # thousands of docs, the corpus 10^12) — exactly the assumption the
+    # former F.broadcast(eval_hashes) already made — so its token-hash
+    # arrays come to the driver and the SAME numpy code fingerprints them.
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql import types as T
+
+    from ..functions.xxh import gram_fingerprints
+
+    def _token_hash_frame(df, *cols):
+        keep = [F.col(c) for c in cols]
+        return df.select(*keep, words_col(F.col(text_col)).alias("_w")).select(
+            *keep, token_hashes_col(F.col("_w")).alias("_h")
         )
-    )
-    # hits is tiny (matched docs only) but its subtree holds the full
-    # corpus shingle explode; the clean/contaminated consumers share its
-    # aggregate stage through AQE ReuseExchange (r5: the former
-    # localCheckpoint(eager=False) pin was measured no faster at sf0.1 or
-    # sf1 and costs a plan re-analysis per invocation)
-    hits = (
-        corpus_shingled.join(F.broadcast(eval_hashes), "h")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
+
+    ev = _token_hash_frame(eval_set).toPandas()["_h"]
+    lists = [np.asarray(a, dtype=np.int64) if a is not None else np.empty(0, np.int64)
+             for a in ev]
+    offsets = np.zeros(len(lists) + 1, dtype=np.int64)
+    if lists:
+        offsets[1:] = np.cumsum([len(a) for a in lists])
+    flat = np.concatenate(lists) if lists else np.empty(0, np.int64)
+    _, ev_fp = gram_fingerprints(flat, offsets, n)
+    ev_sorted = np.unique(ev_fp)
+    bc = corpus.sparkSession.sparkContext.broadcast(ev_sorted)
+
+    id_field = corpus.schema[id_col]
+    schema = T.StructType([id_field, T.StructField("n_hits", T.LongType())])
+
+    def run(batches):
+        ev_set = bc.value
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            col = batch.column("_h")
+            lengths = pc.fill_null(pc.list_value_length(col), 0).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            off = np.zeros(len(lengths) + 1, dtype=np.int64)
+            off[1:] = np.cumsum(lengths)
+            vals = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            doc_idx, fp = gram_fingerprints(vals, off, n)
+            if ev_set.size and fp.size:
+                pos = np.searchsorted(ev_set, fp)
+                pos_c = np.minimum(pos, ev_set.size - 1)
+                matched = doc_idx[ev_set[pos_c] == fp]
+            else:
+                matched = np.empty(0, np.int64)
+            docs, counts = np.unique(matched, return_counts=True)
+            ids = batch.column(id_col).take(pa.array(docs))
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(counts.astype(np.int64), pa.int64())],
+                names=[id_col, "n_hits"],
+            )
+
+    hits = _token_hash_frame(corpus, id_col).mapInArrow(run, schema=schema)
     contaminated = corpus.join(hits, id_col)
     clean = corpus.join(hits.select(id_col), id_col, "left_anti")
     return clean, contaminated

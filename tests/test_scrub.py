@@ -51,10 +51,11 @@ def test_decontaminate_routes_overlapping_docs(spark):
     assert sorted(r["doc_id"] for r in clean.collect()) == [1, 3]
 
 
-def test_decontaminate_corpus_side_broadcast(spark):
-    # the eval side must broadcast: the corpus never shuffles for the
-    # join, only the per-doc hit aggregation exchanges (and only matched
-    # (id, hash) pairs ride it)
+def test_decontaminate_corpus_gram_stage_is_narrow(spark):
+    # r6: the gram stage is a narrow mapInArrow over (id, token-hash
+    # array) rows — the corpus must NOT shuffle to produce hits (no gram
+    # explode, no join, no aggregation exchange in the hits subtree); the
+    # only join is re-attaching the tiny hits frame to the corpus rows
     import contextlib
     import io
 
@@ -65,8 +66,36 @@ def test_decontaminate_corpus_side_broadcast(spark):
     with contextlib.redirect_stdout(buf):
         cont.explain()
     plan = buf.getvalue()
-    assert "BroadcastHashJoin" in plan
+    assert "MapInArrow" in plan
+    assert "Generate" not in plan  # the gram explode is gone
     assert "SortMergeJoin" not in plan
+
+
+def test_xxh64_chain_matches_spark(spark):
+    # parity pin for the numpy XXH64 replica the decontamination kernel
+    # is built on: multi-column chain, single column, and the array fold
+    # must be bit-identical to Spark's xxhash64
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from stac_populator_spark.functions.xxh import xxh64_chain
+
+    rng = np.random.default_rng(11)
+    data = rng.integers(-2**63, 2**63, size=(5000, 5), dtype=np.int64)
+    pdf = pd.DataFrame(data, columns=[f"c{i}" for i in range(5)])
+    df = spark.createDataFrame(pdf)
+    got5 = df.select(
+        F.xxhash64(*[F.col(f"c{i}") for i in range(5)]).alias("h")
+    ).toPandas()["h"].to_numpy().astype(np.uint64)
+    assert np.array_equal(got5, xxh64_chain([data[:, i] for i in range(5)]))
+    got1 = df.select(F.xxhash64("c0").alias("h")).toPandas()["h"].to_numpy().astype(np.uint64)
+    assert np.array_equal(got1, xxh64_chain([data[:, 0]]))
+    gota = (
+        df.select(F.array(*[F.col(f"c{i}") for i in range(3)]).alias("a"))
+        .select(F.xxhash64("a").alias("h"))
+        .toPandas()["h"].to_numpy().astype(np.uint64)
+    )
+    assert np.array_equal(gota, xxh64_chain([data[:, i] for i in range(3)]))
 
 
 def test_redact_counts_match_actual_replacements(spark):
