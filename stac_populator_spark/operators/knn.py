@@ -404,6 +404,8 @@ def knn_join_exact(
     remaining = pts
     radius_i = radius
     prev_cnt = n_total
+    rem_caps = None  # polar-cap populations of `remaining`, kept in sync
+    # by the escalation loop's materialization aggregate
     for _ in range(0 if n_total * n_total <= brute_budget else max_escalations):
         # lazy checkpoint: the ring pass (join + haversine + window — the
         # expensive subtree) is materialized ONCE by the eager `unsat`
@@ -426,12 +428,26 @@ def knn_join_exact(
         required_deg = F.col("kth_km") / (F.lit(111.0) * F.cos(F.radians(lat_margin)))
         near_pole = F.abs(F.col("lat")) >= F.lit(90.0 - 2.0 * e * (radius_i + 1))
         satisfied = (F.col("n_found") >= k) & (required_deg <= F.lit(d_deg_safe)) & ~near_pole
+        # lazy checkpoint + one aggregate job (r6): the former EAGER
+        # checkpoint ran one job to materialize and a second to count; the
+        # aggregate below materializes the checkpoint AND returns the
+        # count plus the polar-cap populations the polar round needs — one
+        # driver job per escalation instead of three (job overhead is the
+        # whole cost at small scale: the ring volume at sf1 is ~16
+        # candidates/point). Lineage is still cut: the checkpointed RDD is
+        # pinned at first materialization.
         unsat = stats.filter(~F.coalesce(satisfied, F.lit(False))).select(
             "id", "lon", "lat"
-        ).localCheckpoint()  # cut the growing lineage per escalation
+        ).localCheckpoint(eager=False)
         done_parts.append(ring.join(unsat.select("id"), "id", "left_anti"))
         remaining = unsat
-        cnt = remaining.count()
+        _u = unsat.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("lat") >= polar_floor).cast("int")).alias("cn"),
+            F.sum((F.col("lat") <= -polar_floor).cast("int")).alias("cs"),
+        ).first()
+        cnt = _u["n"]
+        rem_caps = {False: _u["cn"] or 0, True: _u["cs"] or 0}
         if cnt == 0:
             break
         if cnt * n_total <= brute_budget:
@@ -465,11 +481,16 @@ def knn_join_exact(
     for esc, (bf_i, radius_p) in enumerate(
         ((band_floor, radius), (band_floor2, 2 * radius))
     ):
-        # one small job per round for the per-pole cap populations of the
-        # remnant (round 2 runs only if round 1 engaged and left points);
-        # when `remaining` is still the untouched input the populations
-        # are already in _tot (r6) — no extra job
-        if remaining is pts:
+        # per-pole cap populations of the remnant without a dedicated job
+        # where possible (r6): round 0 reuses either the escalation loop's
+        # materialization aggregate (rem_caps tracks the final
+        # `remaining`) or — when the loop never ran — the _tot columns;
+        # only a round-1 re-entry (round 0 engaged and changed
+        # `remaining`) pays its own small aggregate over the checkpointed
+        # remnant.
+        if esc == 0 and rem_caps is not None:
+            n_cap = rem_caps
+        elif remaining is pts:
             n_cap = {False: _tot["cn"] or 0, True: _tot["cs"] or 0}
         else:
             _rem = remaining.agg(
