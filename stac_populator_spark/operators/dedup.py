@@ -266,10 +266,12 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
     # sf1 in an interleaved A/B). cand_ids is bounded by 2·|candidate
     # pairs| — the same pair-scale object the cross-expansion below
     # already broadcasts (rep_pairs), so no new scale assumption.
-    cand_ids = (
-        cands.select(F.col("a").alias(id_col))
-        .union(cands.select(F.col("b").alias(id_col)))
-        .distinct()
+    # no .distinct() on the id union: a left-semi join keeps a row if ANY
+    # build-side key matches, so duplicate ids change nothing — and the
+    # distinct cost an exchange + an AQE stage-job (cands is already
+    # pair-distinct, so the union holds ≤ 2·|pairs| rows either way)
+    cand_ids = cands.select(F.col("a").alias(id_col)).union(
+        cands.select(F.col("b").alias(id_col))
     )
     reps_verify = reps.join(F.broadcast(cand_ids), id_col, "left_semi")
     rep_pairs = jaccard_pairs(reps_verify, cands, text_col, id_col).filter(
